@@ -1,0 +1,152 @@
+"""Config system.
+
+YAML config files with the same section/key layout as the reference
+(``config/*.cfg`` — YAML despite the extension; see reference
+main_amp.py:66-69 and config/yolov4_Tianxiaomo.cfg). A config is a plain
+nested dict wrapped with defaulting, validation and dotted access.
+
+Sections: DATA / AUGMENTATION / MODEL / CRITERION / OPTIMIZER /
+LR_SCHEDULER / TRAIN / TEST.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict, Optional
+
+import yaml
+
+# Defaults mirror config/yolov4_Tianxiaomo.cfg in the reference repo.
+DEFAULTS: Dict[str, Dict[str, Any]] = {
+    "DATA": {
+        "MAX_NUM_LABELS": 60,
+        "BATCH_SIZE": 4,
+        "WORKERS": 4,
+    },
+    "AUGMENTATION": {
+        "RANDOM_RESIZE": True,  # parsed for compat; multi-scale resize is a no-op
+        "JITTER": 0.3,
+        "RANDOM_HORIZONTAL_FLIP": True,
+        "COLOR_DITHERING": True,
+        "HUE": 0.1,
+        "SATURATION": 1.5,
+        "EXPOSURE": 1.5,
+        "IS_MOSAIC": True,
+        "MIN_OFFSET": 0.2,
+    },
+    "MODEL": {
+        "TYPE": "YOLOv4",
+        "BACKBONE": "cspdarknet53",
+        "BACKBONE_PRETRAINED": None,
+        "ANCHORS": [
+            [12, 16], [19, 36], [40, 28],
+            [36, 75], [76, 55], [72, 146],
+            [142, 110], [192, 243], [459, 401],
+        ],
+        "ANCHOR_MASK": [[0, 1, 2], [3, 4, 5], [6, 7, 8]],
+        "N_CLASSES": 80,
+        # TPU-specific knobs (absent from the reference config; defaulted so
+        # reference config files load unchanged).
+        "SPP_LEGACY_POOLS": True,  # reproduce reference SPP 5/9/5 pooling quirk
+        "COMPUTE_DTYPE": "bfloat16",
+    },
+    "CRITERION": {
+        "TYPE": "YOLOLoss",
+        "IGNORE_THRESH": 0.7,
+    },
+    "OPTIMIZER": {
+        "TYPE": "ADAM",
+        "LR": 3e-4,
+        "NO_BIAS": True,
+        "NO_NORM": True,
+        "MOMENTUM": 0.9,
+        "DECAY": 5e-4,
+    },
+    "LR_SCHEDULER": {
+        "TYPE": "MultiStepLR",
+        "MILESTONES": [50, 70, 80],
+        "GAMMA": 0.1,
+        "IS_WARMUP": True,
+        "WARMUP_EPOCH": 5,
+        "MULTIPLIER": 1.0,
+        "MINIMAL_LR": 1e-6,
+    },
+    "TRAIN": {
+        "IMGSIZE": 608,
+        "START_EPOCH": 0,
+        "MAX_EPOCHS": 90,
+        "ACCUMULATION_STEPS": 1,
+        "OUTPUT_DIR": "./outputs/yolov4",
+    },
+    "TEST": {
+        "IMGSIZE": 608,
+        "CONFTHRE": 0.005,
+        "NMSTHRE": 0.4,
+        # TPU-specific: fixed-shape postprocessing sizes (see ops/postprocess.py)
+        "BATCH_SIZE": 8,
+        "PRE_NMS_TOPK": 2048,
+        "MAX_DETS": 100,
+    },
+}
+
+
+def _deep_update(base: Dict[str, Any], override: Dict[str, Any]) -> Dict[str, Any]:
+    for key, value in override.items():
+        if (
+            key in base
+            and isinstance(base[key], dict)
+            and isinstance(value, dict)
+        ):
+            _deep_update(base[key], value)
+        else:
+            base[key] = value
+    return base
+
+
+class Config(dict):
+    """Nested dict with defaults. ``cfg['TRAIN']['IMGSIZE']`` style access,
+    exactly like the reference's raw-YAML usage."""
+
+    @classmethod
+    def from_file(cls, path: str) -> "Config":
+        with open(path, "r") as f:
+            raw = yaml.safe_load(f) or {}
+        return cls.from_dict(raw)
+
+    @classmethod
+    def from_dict(cls, raw: Optional[Dict[str, Any]] = None) -> "Config":
+        merged = copy.deepcopy(DEFAULTS)
+        if raw:
+            _deep_update(merged, raw)
+        cfg = cls(merged)
+        cfg.validate()
+        return cfg
+
+    def validate(self) -> None:
+        model = self["MODEL"]
+        anchors = model["ANCHORS"]
+        masks = model["ANCHOR_MASK"]
+        if len(anchors) == 0 or any(len(a) != 2 for a in anchors):
+            raise ValueError(f"MODEL.ANCHORS must be a list of [w, h]: {anchors}")
+        flat = [i for mask in masks for i in mask]
+        if sorted(flat) != list(range(len(anchors))):
+            raise ValueError(
+                f"MODEL.ANCHOR_MASK must partition range({len(anchors)}): {masks}"
+            )
+        if len(masks) != 3:
+            raise ValueError("exactly 3 detection scales are supported")
+        n_classes = model["N_CLASSES"]
+        if n_classes < 1:
+            raise ValueError(f"MODEL.N_CLASSES must be >= 1, got {n_classes}")
+        for key in ("TRAIN", "TEST"):
+            size = self[key]["IMGSIZE"]
+            if size % 32 != 0:
+                raise ValueError(f"{key}.IMGSIZE must be a multiple of 32: {size}")
+        if self["TRAIN"]["ACCUMULATION_STEPS"] < 1:
+            raise ValueError("TRAIN.ACCUMULATION_STEPS must be >= 1")
+
+
+def load_config(path: Optional[str] = None) -> Config:
+    if path is None:
+        return Config.from_dict({})
+    return Config.from_file(path)
