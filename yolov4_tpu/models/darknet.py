@@ -1,0 +1,60 @@
+"""CSPDarknet53 backbone + ImageNet classifier head.
+
+Rebuild of reference darknet/darknet.py:141-193 (classification) and
+yolo/model/yolov4.py:26-47 (detection backbone returning three pyramid
+levels). NHWC throughout.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from yolov4_tpu.models.layers import ConvBNAct, CSPDownSample, CSPDownSample0
+
+
+class Backbone(nn.Module):
+    """CSPDarknet53 trunk. ``return_pyramid=True`` yields (x3, x4, x5) at
+    strides 8/16/32 for detection (reference yolov4.py:38-47); otherwise the
+    final stride-32 feature map (reference darknet.py:153-161)."""
+
+    return_pyramid: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        d = self.dtype
+        x = ConvBNAct(32, 3, 1, act="mish", dtype=d, name="stem")(x, train)
+
+        x = CSPDownSample0(64, 3, 2, act="mish", dtype=d, name="stage1")(x, train)
+        x = CSPDownSample(128, 3, 2, num_blocks=2, act="mish", dtype=d, name="stage2")(x, train)
+        x3 = CSPDownSample(256, 3, 2, num_blocks=8, act="mish", dtype=d, name="stage3")(x, train)
+        x4 = CSPDownSample(512, 3, 2, num_blocks=8, act="mish", dtype=d, name="stage4")(x3, train)
+        x5 = CSPDownSample(1024, 3, 2, num_blocks=4, act="mish", dtype=d, name="stage5")(x4, train)
+
+        if self.return_pyramid:
+            return x3, x4, x5
+        return x5
+
+
+class CSPDarknet53(nn.Module):
+    """ImageNet classifier: backbone + global average pool + linear
+    (reference darknet.py:164-193)."""
+
+    num_classes: int = 1000
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = Backbone(return_pyramid=False, dtype=self.dtype, name="backbone")(x, train)
+        x = jnp.mean(x, axis=(1, 2))  # NHWC global average pool
+        x = nn.Dense(
+            self.num_classes,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.lecun_normal(),
+            name="classifier",
+        )(x)
+        return x

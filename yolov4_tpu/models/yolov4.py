@@ -1,0 +1,80 @@
+"""YOLOv4 detector (reference yolo/model/yolov4.py:271-324), TPU-native.
+
+The model consumes NHWC float images in [0, 1] and returns:
+  * training: list of 3 per-scale dicts {layer_no, output, pred} feeding
+    the loss (see models/decode.py),
+  * inference: [B, N, 5+C] decoded predictions in input pixels, N =
+    sum over scales of 3*f^2 (e.g. 22743 at 608x608).
+
+Construction/apply are functional: ``build_model(cfg)`` returns the module;
+``init_variables`` produces {params, batch_stats} pytrees (conv kaiming
+fan-out init, BN scale ~N(0,0.01), matching reference yolov4.py:283-294).
+Pretrained backbone loading is handled by utils/torch_convert.py +
+utils/checkpoint.py rather than inside the module.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from yolov4_tpu.models.darknet import Backbone
+from yolov4_tpu.models.decode import decode_all
+from yolov4_tpu.models.head import Head
+from yolov4_tpu.models.neck import Neck
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+class YOLOv4(nn.Module):
+    n_classes: int = 80
+    anchors: Sequence[Sequence[float]] = (
+        (12, 16), (19, 36), (40, 28),
+        (36, 75), (76, 55), (72, 146),
+        (142, 110), (192, 243), (459, 401),
+    )
+    anchor_mask: Sequence[Sequence[int]] = ((0, 1, 2), (3, 4, 5), (6, 7, 8))
+    legacy_spp_pools: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 decode: bool = True):
+        """x: [B, H, W, 3] NHWC, H == W, multiple of 32.
+
+        decode=False returns the three raw NHWC head maps (for custom
+        postprocessing or export)."""
+        x = x.astype(self.dtype)
+        x3, x4, x5 = Backbone(return_pyramid=True, dtype=self.dtype,
+                              name="backbone")(x, train)
+        p1, p2, p3 = Neck(legacy_pools=self.legacy_spp_pools, dtype=self.dtype,
+                          name="neck")(x3, x4, x5, train)
+        raws = Head(n_classes=self.n_classes, dtype=self.dtype,
+                    name="head")(p1, p2, p3, train)
+        if not decode:
+            return raws
+        return decode_all(list(raws), self.anchors, self.anchor_mask, training=train)
+
+
+def build_model(cfg: Dict) -> YOLOv4:
+    """Construct the detector from a config dict (reference model/build.py:19)."""
+    model_cfg = cfg["MODEL"]
+    assert model_cfg["TYPE"] == "YOLOv4", model_cfg["TYPE"]
+    dtype = _DTYPES[model_cfg.get("COMPUTE_DTYPE", "bfloat16")]
+    return YOLOv4(
+        n_classes=model_cfg["N_CLASSES"],
+        anchors=tuple(tuple(a) for a in model_cfg["ANCHORS"]),
+        anchor_mask=tuple(tuple(m) for m in model_cfg["ANCHOR_MASK"]),
+        legacy_spp_pools=model_cfg.get("SPP_LEGACY_POOLS", True),
+        dtype=dtype,
+    )
+
+
+def init_variables(model: nn.Module, rng: jax.Array, img_size: int,
+                   batch_size: int = 1) -> Dict[str, Any]:
+    """Initialise {params, batch_stats} with a dummy NHWC batch."""
+    dummy = jnp.zeros((batch_size, img_size, img_size, 3), jnp.float32)
+    return model.init({"params": rng}, dummy, train=False)

@@ -1,0 +1,202 @@
+"""YOLO loss with fully vectorized target assignment.
+
+Numerically reproduces the reference YOLOLoss (yolo/model/yololoss.py:94-443)
+— a YOLOv3-style sum-reduction loss:
+
+    loss = BCE(xy, weight=tgt_scale^2) + MSE(wh)/2 + BCE(obj) + BCE(cls)
+
+summed over the three scales, where the reference's per-image / per-ground-
+truth Python loops (yololoss.py:222-369) become masked scatters over the
+fixed [B, K=MAX_NUM_LABELS] label tensor — one XLA program, no host syncs.
+
+Semantics preserved exactly:
+  * valid labels = rows whose 5 fields sum > 0 (yololoss.py:219),
+  * best anchor over all 9 by IoU of (0,0,w,h) boxes, ``best_n_all % 3``
+    intra-layer anchor index (yololoss.py:249-257),
+  * layer ownership via anchor-mask membership (yololoss.py:264-265),
+  * ignore mask: predictions with IoU > ignore_thresh vs ANY valid gt leave
+    the noobj loss, then assigned cells are re-enabled (yololoss.py:276-330),
+  * tgt_scale = sqrt(2 - w*h/f^2), wh target log(gt/anchor + 1e-16)
+    (yololoss.py:337,362-365),
+  * BCE on probabilities with torch's log clamp at -100, reduction='sum'.
+
+Known benign divergence: when two ground truths assign to the same
+(anchor, cell), the reference's sequential loop makes the later row win for
+the box/scale fields while class one-hots accumulate; our scatter keeps the
+accumulate semantics for the class/mask fields but picks an unspecified
+winner among colliding box writes (collisions are rare; training is
+stochastic).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolov4_tpu.models.decode import STRIDES
+
+_LOG_CLAMP = -100.0  # torch.nn.BCELoss clamps log values at -100
+
+
+def _bce_sum(p: jnp.ndarray, t: jnp.ndarray,
+             weight: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Binary cross entropy on probabilities, reduction='sum', torch clamp."""
+    log_p = jnp.maximum(jnp.log(p), _LOG_CLAMP)
+    log_1p = jnp.maximum(jnp.log1p(-p), _LOG_CLAMP)
+    per_elem = -(t * log_p + (1.0 - t) * log_1p)
+    if weight is not None:
+        per_elem = per_elem * weight
+    return jnp.sum(per_elem)
+
+
+def _anchor_iou_wh(gt_wh: jnp.ndarray, anchors_wh: jnp.ndarray) -> jnp.ndarray:
+    """IoU of (0,0,w,h) 'corner' boxes against anchor (0,0,aw,ah) boxes —
+    the reference's ref_anchors trick (yololoss.py:146-150, 240-249).
+
+    gt_wh: [B, K, 2]; anchors_wh: [9, 2] -> [B, K, 9]
+    """
+    inter_w = jnp.minimum(gt_wh[..., None, 0], anchors_wh[None, None, :, 0])
+    inter_h = jnp.minimum(gt_wh[..., None, 1], anchors_wh[None, None, :, 1])
+    valid = (inter_w > 0) & (inter_h > 0)
+    inter = jnp.where(valid, inter_w * inter_h, 0.0)
+    area_gt = gt_wh[..., 0] * gt_wh[..., 1]
+    area_anchor = anchors_wh[:, 0] * anchors_wh[:, 1]
+    union = area_gt[..., None] + area_anchor[None, None, :] - inter
+    return inter / jnp.maximum(union, 1e-16)
+
+
+def _iou_cxcywh(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise IoU, center format (reference bboxes_iou xyxy=False).
+
+    pred: [B, N, 4]; gt: [B, K, 4] -> [B, N, K]
+    """
+    p_tl = pred[..., :2] - pred[..., 2:4] / 2
+    p_br = pred[..., :2] + pred[..., 2:4] / 2
+    g_tl = gt[..., :2] - gt[..., 2:4] / 2
+    g_br = gt[..., :2] + gt[..., 2:4] / 2
+
+    tl = jnp.maximum(p_tl[:, :, None, :], g_tl[:, None, :, :])
+    br = jnp.minimum(p_br[:, :, None, :], g_br[:, None, :, :])
+    valid = jnp.all(tl < br, axis=-1)
+    inter = jnp.where(valid, jnp.prod(br - tl, axis=-1), 0.0)
+    area_p = jnp.prod(pred[..., 2:4], axis=-1)
+    area_g = jnp.prod(gt[..., 2:4], axis=-1)
+    union = area_p[:, :, None] + area_g[:, None, :] - inter
+    return inter / jnp.maximum(union, 1e-16)
+
+
+class YOLOLoss:
+    """Callable loss. ``loss = YOLOLoss(cfg['MODEL'], ignore_thresh)(outputs,
+    targets)`` mirrors the reference criterion's interface
+    (model/build.py:31, yololoss.py:373)."""
+
+    def __init__(self, model_cfg: Dict, ignore_thresh: float = 0.7):
+        self.anchors = np.asarray(model_cfg["ANCHORS"], dtype=np.float32)  # [9, 2]
+        self.anchor_mask = [list(m) for m in model_cfg["ANCHOR_MASK"]]
+        self.n_classes = int(model_cfg["N_CLASSES"])
+        self.ignore_thresh = float(ignore_thresh)
+
+    def __call__(self, outputs: List[Dict], targets: Dict) -> jnp.ndarray:
+        labels = targets["padded_labels"].astype(jnp.float32)  # [B, K, 5]
+        total = jnp.float32(0.0)
+        for out in outputs:
+            total = total + self._layer_loss(
+                out["layer_no"], out["output"], out["pred"], labels)
+        return total
+
+    def _layer_loss(self, layer_no: int, output: jnp.ndarray,
+                    pred: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+        """One scale. output: [B, A, f, f, 5+C] (xy/obj/cls sigmoided, raw
+        wh), pred: [B, A, f, f, 4] decoded grid-unit boxes, labels [B, K, 5]
+        (cx, cy, w, h, cls) in input pixels."""
+        output = output.astype(jnp.float32)
+        pred = pred.astype(jnp.float32)
+        b, n_anchors, fsize, _, n_ch = output.shape
+        k = labels.shape[1]
+        stride = float(STRIDES[layer_no])
+        mask = self.anchor_mask[layer_no]
+
+        anchors_grid_all = jnp.asarray(self.anchors / stride)          # [9, 2]
+        layer_anchors = jnp.asarray(
+            self.anchors[np.asarray(mask)] / stride)                    # [A, 2]
+
+        valid = jnp.sum(labels, axis=2) > 0                             # [B, K]
+        truth = labels[..., :4] / stride                                # [B, K, 4]
+        truth_i = jnp.clip(truth[..., 0].astype(jnp.int32), 0, fsize - 1)
+        truth_j = jnp.clip(truth[..., 1].astype(jnp.int32), 0, fsize - 1)
+
+        # --- anchor matching over all 9 anchors (yololoss.py:249-265) ---
+        anchor_ious = _anchor_iou_wh(truth[..., 2:4], anchors_grid_all)  # [B, K, 9]
+        best_n_all = jnp.argmax(anchor_ious, axis=-1)                    # [B, K]
+        best_n = best_n_all % 3
+        in_layer = jnp.zeros_like(valid)
+        for m in mask:
+            in_layer = in_layer | (best_n_all == m)
+        assign = valid & in_layer                                        # [B, K]
+
+        # --- ignore mask (yololoss.py:276-294) ---
+        gt_boxes = jnp.where(valid[..., None], truth, 0.0)               # [B, K, 4]
+        pred_flat = pred.reshape(b, n_anchors * fsize * fsize, 4)
+        pred_iou = _iou_cxcywh(pred_flat, gt_boxes)                      # [B, N, K]
+        pred_iou = jnp.where(valid[:, None, :], pred_iou, 0.0)
+        pred_best = jnp.max(pred_iou, axis=-1).reshape(b, n_anchors, fsize, fsize)
+        obj_mask = (pred_best <= self.ignore_thresh).astype(jnp.float32)
+
+        # --- scatter ground-truth assignments (yololoss.py:304-369) ---
+        batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, k))
+        # Redirect non-assigned rows out of bounds; mode='drop' skips them.
+        a_idx = jnp.where(assign, best_n, n_anchors)
+        j_idx = jnp.where(assign, truth_j, fsize)
+        i_idx = jnp.where(assign, truth_i, fsize)
+
+        frac_x = truth[..., 0] - truth[..., 0].astype(jnp.int32).astype(jnp.float32)
+        frac_y = truth[..., 1] - truth[..., 1].astype(jnp.int32).astype(jnp.float32)
+        anchor_wh = layer_anchors[best_n % n_anchors]                    # [B, K, 2]
+        tw = jnp.log(truth[..., 2] / anchor_wh[..., 0] + 1e-16)
+        th = jnp.log(truth[..., 3] / anchor_wh[..., 1] + 1e-16)
+        scale = jnp.sqrt(2.0 - truth[..., 2] * truth[..., 3] / (fsize * fsize))
+        cls_idx = jnp.clip(labels[..., 4].astype(jnp.int32), 0, self.n_classes - 1)
+
+        def scat(base, values):
+            return base.at[batch_idx, a_idx, j_idx, i_idx].set(
+                values, mode="drop")
+
+        zeros_cell = jnp.zeros((b, n_anchors, fsize, fsize), jnp.float32)
+        obj_mask = obj_mask.at[batch_idx, a_idx, j_idx, i_idx].set(1.0, mode="drop")
+        tgt_mask = scat(zeros_cell, 1.0 * jnp.ones_like(frac_x))
+        tgt_scale = scat(zeros_cell, scale)
+        t_x = scat(zeros_cell, frac_x)
+        t_y = scat(zeros_cell, frac_y)
+        t_w = scat(zeros_cell, tw)
+        t_h = scat(zeros_cell, th)
+        t_obj = scat(zeros_cell, jnp.ones_like(frac_x))
+        t_cls = jnp.zeros((b, n_anchors, fsize, fsize, self.n_classes), jnp.float32)
+        t_cls = t_cls.at[batch_idx, a_idx, j_idx, i_idx, cls_idx].max(1.0, mode="drop")
+
+        # --- masked loss terms (yololoss.py:399-432) ---
+        out_xy = output[..., 0:2] * tgt_mask[..., None]
+        out_wh = output[..., 2:4] * tgt_mask[..., None] * tgt_scale[..., None]
+        out_obj = output[..., 4] * obj_mask
+        out_cls = output[..., 5:] * tgt_mask[..., None]
+
+        t_xy = jnp.stack([t_x, t_y], axis=-1) * tgt_mask[..., None]
+        t_wh = jnp.stack([t_w, t_h], axis=-1) * tgt_mask[..., None] * tgt_scale[..., None]
+        t_obj = t_obj * obj_mask
+        t_cls = t_cls * tgt_mask[..., None]
+
+        weight_xy = (tgt_scale * tgt_scale)[..., None]
+        loss_xy = _bce_sum(out_xy, t_xy, weight=weight_xy)
+        loss_wh = jnp.sum(jnp.square(out_wh - t_wh)) / 2.0
+        loss_obj = _bce_sum(out_obj, t_obj)
+        loss_cls = _bce_sum(out_cls, t_cls)
+        return loss_xy + loss_wh + loss_obj + loss_cls
+
+
+def build_criterion(cfg: Dict) -> YOLOLoss:
+    """reference model/build.py:31 equivalent."""
+    assert cfg["CRITERION"]["TYPE"] == "YOLOLoss"
+    return YOLOLoss(cfg["MODEL"], ignore_thresh=cfg["CRITERION"]["IGNORE_THRESH"])

@@ -1,0 +1,178 @@
+"""Torch checkpoint -> JAX pytree converter.
+
+Loads the reference's ``.pth.tar`` checkpoints (both the YOLOv4 trainer's
+``{epoch, state_dict, ...}`` dicts, main_amp.py:220-229, and the darknet
+pretrainer's) into this framework's {params, batch_stats} pytrees.
+
+The mapping is mechanical because flax module names mirror the reference's
+module tree with torch Sequential indices flattened into the name
+(torch ``neck.spp.conv1.0.conv.weight`` -> flax
+``neck/spp/conv1_0/conv/kernel``):
+
+  * digit path segments merge into the previous segment with ``_``,
+  * conv ``weight`` [O, I, H, W] -> ``kernel`` [H, W, I, O],
+  * linear ``weight`` [O, I] -> ``kernel`` [I, O],
+  * batchnorm ``weight``/``bias`` -> ``scale``/``bias`` (params),
+    ``running_mean``/``running_var`` -> ``mean``/``var`` (batch_stats),
+  * ``num_batches_tracked`` is dropped,
+  * a leading DDP ``module.`` prefix is stripped (reference
+    main_amp.py:153-157).
+
+torch is imported lazily (CPU build) and only needed to read ``.pth.tar``
+files; converted numpy state_dicts work without torch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+Path = Tuple[str, ...]
+
+
+def _merge_digits(segments) -> list:
+    merged: list = []
+    for seg in segments:
+        if seg.isdigit() and merged:
+            merged[-1] = f"{merged[-1]}_{seg}"
+        else:
+            merged.append(seg)
+    return merged
+
+
+def torch_key_to_path(key: str) -> Tuple[str, Path]:
+    """Map a torch state_dict key to (collection, flax path).
+
+    Returns collection '' for keys to drop (num_batches_tracked).
+    """
+    if key.startswith("module."):
+        key = key[len("module."):]
+    segments = key.split(".")
+    param = segments[-1]
+    module_path = _merge_digits(segments[:-1])
+
+    if param == "num_batches_tracked":
+        return "", ()
+    if param == "running_mean":
+        return "batch_stats", tuple(module_path) + ("mean",)
+    if param == "running_var":
+        return "batch_stats", tuple(module_path) + ("var",)
+
+    leaf_module = module_path[-1] if module_path else ""
+    if param == "weight":
+        if leaf_module == "norm":
+            return "params", tuple(module_path) + ("scale",)
+        return "params", tuple(module_path) + ("kernel",)
+    if param == "bias":
+        return "params", tuple(module_path) + ("bias",)
+    raise ValueError(f"unrecognised torch parameter: {key}")
+
+
+def _convert_value(path: Path, value: np.ndarray) -> np.ndarray:
+    value = np.asarray(value)
+    if path[-1] == "kernel":
+        if value.ndim == 4:      # conv OIHW -> HWIO
+            return np.transpose(value, (2, 3, 1, 0))
+        if value.ndim == 2:      # linear [O, I] -> [I, O]
+            return np.transpose(value, (1, 0))
+    return value
+
+
+def _set_path(tree: Dict[str, Any], path: Path, value: np.ndarray) -> None:
+    node = tree
+    for seg in path[:-1]:
+        node = node.setdefault(seg, {})
+    node[path[-1]] = value
+
+
+def convert_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """numpy/torch state_dict -> {'params': ..., 'batch_stats': ...}."""
+    out: Dict[str, Any] = {"params": {}, "batch_stats": {}}
+    for key, value in state_dict.items():
+        if hasattr(value, "detach"):  # torch tensor without importing torch
+            value = value.detach().cpu().numpy()
+        collection, path = torch_key_to_path(key)
+        if not collection:
+            continue
+        _set_path(out[collection], path, _convert_value(path, np.asarray(value)))
+    if not out["batch_stats"]:
+        del out["batch_stats"]
+    return out
+
+
+def load_pth_tar(path: str) -> Dict[str, np.ndarray]:
+    """Read a torch ``.pth.tar`` checkpoint file into a numpy state_dict.
+    Accepts either a bare state_dict or the reference trainer's wrapper dict
+    (utils.py:17-24)."""
+    import torch  # lazy: only needed when actually reading torch files
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    state_dict = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
+    return {
+        k: v.detach().cpu().numpy()
+        for k, v in state_dict.items()
+        if hasattr(v, "detach")
+    }
+
+
+def extract_backbone(state_dict: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Filter a classifier checkpoint down to backbone weights, keyed
+    relative to the backbone (reference yolov4.py:295-302)."""
+    out = {}
+    for key, value in state_dict.items():
+        stripped = key[len("module."):] if key.startswith("module.") else key
+        if stripped.startswith("backbone."):
+            out[stripped[len("backbone."):]] = value
+    return out
+
+
+def _tree_shapes(tree: Any, prefix: Path = ()) -> Dict[Path, Tuple[int, ...]]:
+    shapes: Dict[Path, Tuple[int, ...]] = {}
+    if isinstance(tree, Mapping):
+        for key, value in tree.items():
+            shapes.update(_tree_shapes(value, prefix + (key,)))
+    else:
+        shapes[prefix] = tuple(np.shape(tree))
+    return shapes
+
+
+def check_compatible(converted: Mapping[str, Any], variables: Mapping[str, Any],
+                     subtree: Path = ()) -> None:
+    """Raise if the converted tree does not exactly match the model's
+    variable structure (strict load, like torch load_state_dict(strict=True))."""
+    for collection in converted:
+        expected = variables[collection]
+        for seg in subtree:
+            expected = expected[seg]
+        got = _tree_shapes(converted[collection])
+        want = _tree_shapes(expected)
+        missing = set(want) - set(got)
+        unexpected = set(got) - set(want)
+        if missing or unexpected:
+            raise ValueError(
+                f"[{collection}] strict load failed. missing={sorted(missing)[:5]} "
+                f"unexpected={sorted(unexpected)[:5]} "
+                f"(+{max(0, len(missing) + len(unexpected) - 10)} more)")
+        mismatched = {p: (got[p], want[p]) for p in want if got[p] != want[p]}
+        if mismatched:
+            raise ValueError(f"[{collection}] shape mismatches: "
+                             f"{dict(list(mismatched.items())[:5])}")
+
+
+def merge_subtree(variables: Dict[str, Any], converted: Mapping[str, Any],
+                  subtree: Path = ()) -> Dict[str, Any]:
+    """Return a copy of ``variables`` with ``converted`` grafted in at
+    ``subtree`` (e.g. ('backbone',) for pretrained-backbone load)."""
+    import copy
+
+    out = copy.deepcopy(variables)
+    for collection, tree in converted.items():
+        node = out[collection]
+        for seg in subtree[:-1]:
+            node = node[seg]
+        if subtree:
+            node[subtree[-1]] = copy.deepcopy(dict(tree))
+        else:
+            out[collection] = copy.deepcopy(dict(tree))
+    return out
