@@ -1,0 +1,104 @@
+"""COCO dataset + loader tests over the synthetic fixture."""
+
+import numpy as np
+import pytest
+
+from tests.fixtures import make_fake_coco
+from yolov4_tpu.config import load_config
+from yolov4_tpu.data.coco import COCODataset, COCOIndex
+from yolov4_tpu.data.pipeline import DataLoader
+from yolov4_tpu.data.transforms import Transform
+
+
+@pytest.fixture(scope="module")
+def fake_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("coco"))
+    make_fake_coco(root, "train2017", n_images=8, seed=0)
+    make_fake_coco(root, "val2017", n_images=5, seed=1)
+    return root
+
+
+def test_index_roundtrip(fake_root):
+    idx = COCOIndex(f"{fake_root}/annotations/instances_train2017.json")
+    ids = idx.get_img_ids()
+    assert len(ids) == 8
+    assert len(idx.get_cat_ids()) == 80
+    anns = idx.load_anns(ids[0])
+    assert all(len(a["bbox"]) == 4 for a in anns)
+
+
+def test_dataset_raw_labels(fake_root):
+    ds = COCODataset(fake_root, "train2017", img_size=128, is_train=True,
+                     transform=None)
+    img, boxes, img_id = ds.get_img_and_labels(0)
+    assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
+    if len(boxes):
+        assert boxes.shape[1] == 5
+        assert (boxes[:, 4] >= 0).all() and (boxes[:, 4] < 80).all()
+
+
+def test_dataset_train_mosaic(fake_root):
+    cfg = load_config()
+    ds = COCODataset(fake_root, "train2017", img_size=128, is_train=True,
+                     transform=Transform(cfg, is_train=True, seed=0), seed=0)
+    img, target = ds[0]
+    assert img.shape == (128, 128, 3) and img.dtype == np.float32
+    assert target["padded_labels"].shape == (60, 5)
+    assert len(target["img_info"]) == 2  # [img_id, index]
+
+
+def test_dataset_val(fake_root):
+    cfg = load_config()
+    ds = COCODataset(fake_root, "val2017", img_size=96, is_train=False,
+                     transform=Transform(cfg, is_train=False))
+    img, target = ds[1]
+    assert img.shape == (96, 96, 3)
+    info = target["img_info"]
+    assert len(info) == 6  # src_h, src_w, dst_h, dst_w, img_id, index
+    assert info[2] == 96 and info[3] == 96
+    assert info[4] == ds.ids[1] and info[5] == 1
+
+
+@pytest.mark.parametrize("num_workers", [0, 2])
+def test_loader_batches(fake_root, num_workers):
+    cfg = load_config()
+    ds = COCODataset(fake_root, "val2017", img_size=64, is_train=False,
+                     transform=Transform(cfg, is_train=False))
+    loader = DataLoader(ds, batch_size=2, shuffle=False,
+                        num_workers=num_workers)
+    batches = list(loader)
+    assert len(batches) == 3  # 5 imgs, pad_last
+    imgs, target = batches[-1]
+    assert imgs.shape == (2, 64, 64, 3)
+    assert target["batch_mask"].tolist() == [True, False]
+    assert target["padded_labels"].shape == (2, 60, 5)
+
+
+def test_loader_determinism(fake_root):
+    cfg = load_config()
+    ds = COCODataset(fake_root, "train2017", img_size=64, is_train=True,
+                     transform=Transform(cfg, is_train=True), seed=0)
+    def run(num_workers):
+        loader = DataLoader(ds, batch_size=2, shuffle=True, seed=123,
+                            num_workers=num_workers)
+        loader.set_epoch(1)
+        return [b[0] for b in loader]
+    a = run(0)
+    b = run(2)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_loader_sharding(fake_root):
+    cfg = load_config()
+    ds = COCODataset(fake_root, "val2017", img_size=64, is_train=False,
+                     transform=Transform(cfg, is_train=False))
+    seen = []
+    for pi in range(2):
+        loader = DataLoader(ds, batch_size=2, shuffle=False, pad_last=False,
+                            process_index=pi, process_count=2)
+        for _, target in loader:
+            seen.extend(target["img_info"][:, 4][target["batch_mask"]].tolist())
+    # every image covered (with wrap padding allowed)
+    assert set(int(s) for s in seen) == set(ds.ids)

@@ -1,0 +1,159 @@
+"""Host-side input pipeline.
+
+TPU-native replacement for torch DataLoader + DistributedSampler
+(reference yolo/data/build.py:19-56): each JAX process loads only its shard
+of every global batch (single-controller model), batches are collated into
+NHWC numpy arrays ready for device put, and augmentation runs in forked
+worker processes with deterministic per-(epoch, batch) seeding — seeds are
+derived from content position, not worker identity, so runs reproduce
+regardless of worker count.
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+_WORKER_DATASET = None
+
+
+def _init_worker(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _fetch_batch(args):
+    indices, seed = args
+    return _collate(_WORKER_DATASET, indices, seed)
+
+
+def _collate(dataset, indices, seed: Optional[int]):
+    if seed is not None and hasattr(dataset, "seed"):
+        dataset.seed(seed)
+    imgs, labels, infos = [], [], []
+    for idx in indices:
+        img, target = dataset[int(idx)]
+        imgs.append(np.asarray(img, np.float32))
+        labels.append(np.asarray(target["padded_labels"], np.float32))
+        infos.append(np.asarray(target["img_info"], np.float64))
+    return (
+        np.stack(imgs),
+        {"padded_labels": np.stack(labels), "img_info": np.stack(infos)},
+    )
+
+
+class DataLoader:
+    """Sharded, batched, optionally multiprocess loader.
+
+    Yields (images [B, S, S, 3] float32 NHWC, target dict). B is the
+    PER-PROCESS batch size. With ``pad_last`` the final short batch is
+    padded by repeating the first element and a 'batch_mask' is added to
+    the target (static batch shapes for XLA).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 num_workers: int = 0, seed: int = 0, drop_last: bool = False,
+                 pad_last: bool = True, process_index: int = 0,
+                 process_count: int = 1):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = num_workers
+        self.seed = seed
+        self.drop_last = drop_last
+        self.pad_last = pad_last
+        self.process_index = process_index
+        self.process_count = process_count
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reshuffle per epoch (DistributedSampler.set_epoch equivalent)."""
+        self.epoch = epoch
+
+    def _local_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            order = np.random.default_rng((self.seed, self.epoch)).permutation(n)
+        if self.process_count > 1:
+            # pad to a multiple of process_count (wrap), then stride-shard
+            total = -(-n // self.process_count) * self.process_count
+            order = np.concatenate([order, order[: total - n]])
+            order = order[self.process_index::self.process_count]
+        return order
+
+    def __len__(self) -> int:
+        n = len(self._local_indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _batches(self):
+        order = self._local_indices()
+        nb = len(self)
+        for i in range(nb):
+            chunk = order[i * self.batch_size:(i + 1) * self.batch_size]
+            seed = hash((self.seed, self.epoch, i, self.process_index)) & 0x7FFFFFFF
+            yield chunk, seed
+
+    def _finalize(self, imgs, target, n_real: int):
+        if n_real < self.batch_size and self.pad_last:
+            pad = self.batch_size - n_real
+            imgs = np.concatenate([imgs, np.repeat(imgs[:1], pad, axis=0)])
+            target = {k: np.concatenate([v, np.repeat(v[:1], pad, axis=0)])
+                      for k, v in target.items()}
+        mask = np.zeros(len(imgs), bool)
+        mask[:n_real] = True
+        target["batch_mask"] = mask
+        return imgs, target
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, Dict[str, np.ndarray]]]:
+        if self.num_workers <= 0:
+            for chunk, seed in self._batches():
+                imgs, target = _collate(self.dataset, chunk, seed)
+                yield self._finalize(imgs, target, len(chunk))
+            return
+
+        ctx = mp.get_context("fork")
+        with ctx.Pool(self.num_workers, initializer=_init_worker,
+                      initargs=(self.dataset,)) as pool:
+            sizes = []
+
+            def gen():
+                for chunk, seed in self._batches():
+                    sizes.append(len(chunk))
+                    yield chunk, seed
+
+            for imgs, target in pool.imap(_fetch_batch, gen()):
+                yield self._finalize(imgs, target, sizes.pop(0))
+
+
+def build_data(cfg: Dict, data_root: str, process_index: int = 0,
+               process_count: int = 1, seed: int = 0):
+    """Train + val loaders (reference data/build.py:19 equivalent).
+
+    Val batches (static shapes let us batch, unlike the reference's
+    batch=1 eval — SURVEY discrepancy #10)."""
+    from yolov4_tpu.data.coco import COCODataset
+    from yolov4_tpu.data.transforms import Transform
+
+    train_dataset = COCODataset(
+        root=data_root, name="train2017", img_size=cfg["TRAIN"]["IMGSIZE"],
+        is_train=True, transform=Transform(cfg, is_train=True),
+        num_classes=cfg["MODEL"]["N_CLASSES"])
+    val_dataset = COCODataset(
+        root=data_root, name="val2017", img_size=cfg["TEST"]["IMGSIZE"],
+        is_train=False, transform=Transform(cfg, is_train=False),
+        num_classes=cfg["MODEL"]["N_CLASSES"])
+
+    train_loader = DataLoader(
+        train_dataset, batch_size=cfg["DATA"]["BATCH_SIZE"], shuffle=True,
+        num_workers=cfg["DATA"]["WORKERS"], seed=seed, drop_last=True,
+        process_index=process_index, process_count=process_count)
+    val_loader = DataLoader(
+        val_dataset, batch_size=cfg["TEST"].get("BATCH_SIZE", 8), shuffle=False,
+        num_workers=cfg["DATA"]["WORKERS"], seed=seed,
+        process_index=0, process_count=1)
+    return train_loader, val_loader

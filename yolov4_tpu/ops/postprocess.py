@@ -1,0 +1,89 @@
+"""On-device detection postprocessing (conf filter + class-wise NMS).
+
+TPU rebuild of the reference's postprocess (yolo/util/utils.py:92-223),
+which runs per-image python loops and CPU numpy NMS. Here the whole batch is
+one XLA program with static shapes:
+
+  1. multi-label expansion: every (box, class) pair with
+     obj * cls_prob >= conf_thre is a candidate — identical to the
+     reference's two-stage filter (utils.py:145,170), since
+     obj*cls >= t implies obj*max_cls >= t;
+  2. top-K selection over the N*C score matrix (K = pre_nms_topk); the
+     reference keeps every candidate, so K caps extremely low thresholds —
+     choose K large enough for the eval protocol;
+  3. class-wise greedy NMS as a single joint pass: boxes are offset by
+     class_idx * offset so different classes never overlap, making one
+     greedy run equivalent to the reference's per-class loops
+     (utils.py:194-220);
+  4. fixed-size output: top max_dets survivors per image, with a validity
+     mask instead of ragged per-image lists.
+
+Output rows are [x1, y1, x2, y2, obj_conf, cls_conf, cls_idx] in input-image
+pixels — the reference's detection row layout (utils.py:171-184).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from yolov4_tpu.ops.boxes import cxcywh_to_xyxy
+from yolov4_tpu.ops.nms import greedy_nms_mask
+
+
+@partial(jax.jit, static_argnames=("num_classes", "pre_nms_topk", "max_dets"))
+def postprocess(predictions: jnp.ndarray, num_classes: int,
+                conf_thre: float, nms_thre: float,
+                pre_nms_topk: int = 2048,
+                max_dets: int = 100) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """predictions: [B, N, 5+C] decoded model output (cxcywh + obj + cls).
+
+    Returns:
+      detections: [B, max_dets, 7] = x1,y1,x2,y2,obj,cls_conf,cls_idx
+        (score-sorted; invalid rows are zeros)
+      valid: [B, max_dets] bool
+    """
+    predictions = predictions.astype(jnp.float32)
+    b, n, _ = predictions.shape
+    boxes = cxcywh_to_xyxy(predictions[..., :4])                # [B, N, 4]
+    obj = predictions[..., 4]                                   # [B, N]
+    cls_prob = predictions[..., 5:5 + num_classes]              # [B, N, C]
+
+    scores = obj[..., None] * cls_prob                          # [B, N, C]
+    flat = scores.reshape(b, n * num_classes)
+    flat = jnp.where(flat >= conf_thre, flat, -1.0)
+    k = min(pre_nms_topk, n * num_classes)
+    top_scores, top_idx = jax.lax.top_k(flat, k)                # [B, K] desc
+    valid = top_scores >= conf_thre
+
+    box_idx = top_idx // num_classes                            # [B, K]
+    cls_idx = top_idx % num_classes
+
+    sel_boxes = jnp.take_along_axis(boxes, box_idx[..., None], axis=1)  # [B, K, 4]
+    sel_obj = jnp.take_along_axis(obj, box_idx, axis=1)
+    sel_cls_conf = top_scores / jnp.maximum(sel_obj, 1e-16)
+
+    # class-offset trick: disjoint coordinate islands per class
+    span = jnp.max(jnp.abs(sel_boxes)) + 1.0
+    offset_boxes = sel_boxes + (cls_idx.astype(jnp.float32) * span)[..., None]
+    keep = greedy_nms_mask(offset_boxes, valid, nms_thre)       # [B, K]
+
+    kept_scores = jnp.where(keep, top_scores, -1.0)
+    d = min(max_dets, k)
+    final_scores, order = jax.lax.top_k(kept_scores, d)         # [B, D]
+    final_valid = final_scores > 0.0
+
+    def take(x):
+        return jnp.take_along_axis(x, order, axis=1)
+
+    det = jnp.concatenate([
+        jnp.take_along_axis(sel_boxes, order[..., None], axis=1),
+        take(sel_obj)[..., None],
+        take(sel_cls_conf)[..., None],
+        take(cls_idx.astype(jnp.float32))[..., None],
+    ], axis=-1)
+    det = jnp.where(final_valid[..., None], det, 0.0)
+    return det, final_valid
