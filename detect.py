@@ -1,0 +1,143 @@
+#!/usr/bin/env python3
+"""Single/batch image detection CLI (reference detect.py surface).
+
+Usage:
+    python detect.py --cfg configs/yolov4_Tianxiaomo.cfg \
+        --ckpt outputs/model_best.ckpt --source ./data/images/ \
+        [--dest runs/detect/] [--conf-thre 0.2] [--nms-thre 0.5]
+
+Differences from the reference (detect.py:28-253): inference is batched
+through one jit-compiled program (model + decode + on-device NMS) instead of
+a per-image python loop; checkpoints may be native .ckpt or the reference's
+torch .pth.tar (auto-converted).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import time
+from pathlib import Path
+
+import cv2
+import numpy as np
+
+from yolov4_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
+
+from yolov4_tpu.config import load_config
+from yolov4_tpu.data.transforms import Transform
+from yolov4_tpu.engine.predictor import Predictor
+from yolov4_tpu.utils import checkpoint as ckpt_lib
+from yolov4_tpu.utils.logging import setup_logging, get_logger
+from yolov4_tpu.utils.visualize import class_name, draw_detections
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="TPU YOLOv4 Detection.")
+    parser.add_argument("--cfg", type=str, default="configs/yolov4_default.cfg")
+    parser.add_argument("--ckpt", type=str, default=None,
+                        help="checkpoint file (.ckpt or reference .pth.tar)")
+    parser.add_argument("--source", type=str, default="./data/images/",
+                        help="image file or directory")
+    parser.add_argument("--dest", type=str, default="./runs/detect/",
+                        help="output directory root")
+    parser.add_argument("--conf-thre", type=float, default=-0.1)
+    parser.add_argument("--nms-thre", type=float, default=-0.1)
+    parser.add_argument("--batch-size", type=int, default=8)
+    return parser.parse_args()
+
+
+def increment_path(path: str) -> Path:
+    """runs/detect/exp -> exp2 -> exp3 ... (reference detect.py:125-148)."""
+    path = Path(path)
+    if path.exists():
+        for n in range(2, 9999):
+            candidate = Path(f"{path}{n}")
+            if not candidate.exists():
+                path = candidate
+                break
+    path.mkdir(parents=True, exist_ok=True)
+    return path
+
+
+def list_images(source: str):
+    if os.path.isfile(source):
+        return [source]
+    if not os.path.isdir(source):
+        raise SystemExit(f"error: --source {source!r} is neither a file nor a directory")
+    return sorted(glob.glob(os.path.join(source, "*.jpg"))
+                  + glob.glob(os.path.join(source, "*.png")))
+
+
+def main():
+    args = parse_args()
+    logger = setup_logging(0) and get_logger(__name__) or get_logger(__name__)
+    cfg = load_config(args.cfg)
+    conf_thre = cfg["TEST"]["CONFTHRE"] if args.conf_thre < 0 else args.conf_thre
+    nms_thre = cfg["TEST"]["NMSTHRE"] if args.nms_thre < 0 else args.nms_thre
+    img_size = cfg["TEST"]["IMGSIZE"]
+
+    paths = list_images(args.source)
+    if not paths:
+        raise FileNotFoundError(f"no .jpg/.png under {args.source}")
+    logger.info(f"detecting {len(paths)} image(s) at {img_size}x{img_size}, "
+                f"conf {conf_thre}, nms {nms_thre}")
+
+    variables = None
+    if args.ckpt:
+        variables = ckpt_lib.load_variables(args.ckpt)
+        logger.info(f"loaded checkpoint {args.ckpt}")
+    else:
+        logger.warning("no --ckpt given: running with RANDOM weights")
+
+    transform = Transform(cfg, is_train=False)
+    raw_imgs, batch, infos = [], [], []
+    for p in paths:
+        img = cv2.imread(p)
+        assert img is not None, p
+        out, target = transform([img], [np.zeros((0, 5))], img_size)
+        raw_imgs.append(img)
+        batch.append(out)
+        infos.append(target["img_info"])
+
+    predictor = Predictor(cfg, variables=variables, img_size=img_size,
+                          batch_size=min(args.batch_size, len(paths)),
+                          conf_thre=conf_thre, nms_thre=nms_thre)
+
+    dest = increment_path(os.path.join(args.dest, "exp"))
+    t0 = time.time()
+    n_done = 0
+    for start in range(0, len(paths), predictor.batch_size):
+        chunk = np.stack(batch[start:start + predictor.batch_size])
+        dets, valids = predictor(chunk)
+        for i in range(chunk.shape[0]):
+            idx = start + i
+            src_h, src_w, dst_h, dst_w = infos[idx][:4]
+            det, valid = dets[i], valids[i]
+            det = det[valid]
+            boxes = det[:, :4] * np.array(
+                [src_w / dst_w, src_h / dst_h, src_w / dst_w, src_h / dst_h])
+            scores = det[:, 4] * det[:, 5]
+            cls_idxs = det[:, 6].astype(int)
+
+            summary = {}
+            for c in cls_idxs:
+                summary[class_name(c)] = summary.get(class_name(c), 0) + 1
+            desc = ", ".join(f"{v} {k}" for k, v in summary.items()) or "no detections"
+            logger.info(f"image {idx + 1}/{len(paths)} "
+                        f"{os.path.basename(paths[idx])}: {desc}")
+
+            drawn = draw_detections(raw_imgs[idx].copy(), boxes, scores, cls_idxs)
+            out_path = os.path.join(str(dest), os.path.basename(paths[idx]))
+            cv2.imwrite(out_path, drawn)
+            n_done += 1
+
+    dt = time.time() - t0
+    logger.info(f"done: {n_done} image(s) in {dt:.2f}s -> {dest}")
+
+
+if __name__ == "__main__":
+    main()

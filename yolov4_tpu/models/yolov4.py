@@ -75,6 +75,11 @@ def build_model(cfg: Dict) -> YOLOv4:
 
 def init_variables(model: nn.Module, rng: jax.Array, img_size: int,
                    batch_size: int = 1) -> Dict[str, Any]:
-    """Initialise {params, batch_stats} with a dummy NHWC batch."""
+    """Initialise {params, batch_stats} with a dummy NHWC batch.
+
+    Jitted: eager init would dispatch thousands of tiny ops to the device
+    one by one (minutes over a remote tunnel); one compiled program takes
+    seconds."""
     dummy = jnp.zeros((batch_size, img_size, img_size, 3), jnp.float32)
-    return model.init({"params": rng}, dummy, train=False)
+    init_fn = jax.jit(lambda r, d: model.init({"params": r}, d, train=False))
+    return init_fn(rng, dummy)

@@ -1,0 +1,25 @@
+"""Process-level JAX runtime setup shared by all CLIs and the benchmark.
+
+Enables the persistent XLA compilation cache: first-time compiles of the
+full detector go through a remote-compile service in some TPU environments
+(minutes); cached reloads take seconds.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+
+
+def setup_jax(cache_dir: str | None = None, enable_x64: bool = False) -> None:
+    import jax
+
+    cache_dir = cache_dir or os.environ.get("YOLOV4_TPU_JAX_CACHE", _DEFAULT_CACHE)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization; never fail startup over it
