@@ -1,0 +1,95 @@
+"""validate() end-to-end over the fake dataset with an oracle predictor:
+tests coordinate unmapping + evaluator plumbing (AP must be ~1.0)."""
+
+import numpy as np
+import pytest
+
+from tests.fixtures import make_fake_coco
+from yolov4_tpu.config import load_config
+from yolov4_tpu.data.coco import COCODataset
+from yolov4_tpu.data.pipeline import DataLoader
+from yolov4_tpu.data.transforms import Transform
+from yolov4_tpu.engine.evaluator import detections_to_coco, validate
+
+
+class OraclePredictor:
+    """Emits the ground-truth labels (already in model-input pixels) as
+    perfect detections."""
+
+    def __init__(self, max_dets=100):
+        self.max_dets = max_dets
+        self.conf_thre = None
+        self.nms_thre = None
+        self._labels = None
+
+    def attach(self, target):
+        self._labels = target["padded_labels"]
+
+    def __call__(self, imgs):
+        b = imgs.shape[0]
+        det = np.zeros((b, self.max_dets, 7), np.float32)
+        valid = np.zeros((b, self.max_dets), bool)
+        for i in range(b):
+            labels = self._labels[i]
+            real = labels.sum(1) > 0
+            n = int(real.sum())
+            cx, cy, w, h, cls = labels[:n].T
+            det[i, :n, 0] = cx - w / 2
+            det[i, :n, 1] = cy - h / 2
+            det[i, :n, 2] = cx + w / 2
+            det[i, :n, 3] = cy + h / 2
+            det[i, :n, 4] = 1.0
+            det[i, :n, 5] = 1.0
+            det[i, :n, 6] = cls
+            valid[i, :n] = True
+        return det, valid
+
+
+class LoaderWithHook:
+    def __init__(self, loader, predictor):
+        self.loader = loader
+        self.predictor = predictor
+        self.dataset = loader.dataset
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        for imgs, target in self.loader:
+            self.predictor.attach(target)
+            yield imgs, target
+
+
+@pytest.fixture(scope="module")
+def fake_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("coco_eval"))
+    make_fake_coco(root, "val2017", n_images=6, seed=3)
+    return root
+
+
+def test_validate_oracle_gets_ap1(fake_root, capsys):
+    cfg = load_config()
+    dataset = COCODataset(fake_root, "val2017", img_size=128, is_train=False,
+                          transform=Transform(cfg, is_train=False))
+    loader = DataLoader(dataset, batch_size=2, shuffle=False)
+    predictor = OraclePredictor()
+    ap, ap50 = validate(LoaderWithHook(loader, predictor), predictor,
+                        verbose=False)
+    assert ap50 == pytest.approx(1.0, abs=1e-6)
+    assert ap == pytest.approx(1.0, abs=0.02)  # resize rounding at high IoU
+
+
+def test_detections_to_coco_unmaps():
+    det = np.array([[10.0, 20.0, 110.0, 220.0, 0.9, 0.8, 2.0]])
+    valid = np.array([True])
+    img_info = np.array([480.0, 640.0, 320.0, 320.0, 42.0, 0.0])
+    rows = detections_to_coco(det, valid, img_info, class_ids=list(range(1, 81)))
+    assert len(rows) == 1
+    row = rows[0]
+    assert row["image_id"] == 42
+    assert row["category_id"] == 3  # class_ids[2]
+    np.testing.assert_allclose(
+        row["bbox"],
+        [10 / 320 * 640, 20 / 320 * 480, 100 / 320 * 640, 200 / 320 * 480],
+        rtol=1e-6)
+    assert row["score"] == pytest.approx(0.72)
