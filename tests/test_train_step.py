@@ -1,0 +1,155 @@
+"""Data-parallel train step tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolov4_tpu.config import load_config
+from yolov4_tpu.models import build_model
+from yolov4_tpu.models.yolov4 import init_variables
+from yolov4_tpu.ops.loss import build_criterion, _bce_sum
+from yolov4_tpu.optim import build_lr_schedule, build_optimizer
+from yolov4_tpu.parallel import create_mesh, create_train_state, make_train_step
+from yolov4_tpu.utils import checkpoint as ckpt_lib
+
+
+class TinyDetector(__import__("flax").linen.Module):
+    """Minimal stand-in with the detector's interface: 3 decoded scales.
+    Keeps CPU compiles to seconds — the step logic is model-agnostic, and
+    full-model training is covered by the TPU smoke in train.py."""
+
+    n_classes: int = 80
+
+    @__import__("flax").linen.compact
+    def __call__(self, x, train=False):
+        from flax import linen as nn
+        from yolov4_tpu.models.decode import decode_all
+        from yolov4_tpu.config import DEFAULTS
+
+        out_ch = 3 * (5 + self.n_classes)
+        raws = []
+        for stride_pow in (3, 4, 5):  # strides 8/16/32
+            h = nn.Conv(8, (3, 3), strides=(2 ** stride_pow,) * 2,
+                        name=f"down{stride_pow}")(x)
+            h = nn.BatchNorm(use_running_average=not train,
+                             name=f"norm{stride_pow}")(h)
+            h = nn.relu(h)
+            raws.append(nn.Conv(out_ch, (1, 1), name=f"head{stride_pow}")(h))
+        model_cfg = DEFAULTS["MODEL"]
+        return decode_all(raws, model_cfg["ANCHORS"], model_cfg["ANCHOR_MASK"],
+                          training=train)
+
+
+def _setup(accum=1, img_size=64):
+    cfg = load_config()
+    cfg["MODEL"]["COMPUTE_DTYPE"] = "float32"
+    model = TinyDetector()
+    variables = init_variables(model, jax.random.PRNGKey(0), img_size)
+    criterion = build_criterion(cfg)
+    tx = build_optimizer(cfg, variables["params"])
+    schedule = build_lr_schedule(cfg, len_epoch=10)
+    mesh = create_mesh()
+    step = make_train_step(model, criterion, tx, schedule, mesh,
+                           accumulation_steps=accum)
+    state = create_train_state(variables, tx)
+    return step, state, mesh
+
+
+def _batch(rng, b=8, img_size=64):
+    imgs = rng.uniform(0, 1, (b, img_size, img_size, 3)).astype(np.float32)
+    labels = np.zeros((b, 60, 5), np.float32)
+    labels[:, 0] = [20, 30, 10, 12, 5]
+    labels[:, 1] = [44, 12, 16, 20, 63]
+    return imgs, labels
+
+
+def test_bce_gradient_finite_at_masked_zeros():
+    g = jax.grad(lambda p: _bce_sum(p, jnp.zeros(4)))(jnp.zeros(4))
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
+    g1 = jax.grad(lambda p: _bce_sum(p, jnp.ones(4)))(jnp.ones(4))
+    np.testing.assert_array_equal(np.asarray(g1), 0.0)
+
+
+def test_bce_gradient_matches_torch():
+    import torch
+    p = np.random.default_rng(0).uniform(0.05, 0.95, (8,)).astype(np.float32)
+    t = np.random.default_rng(1).uniform(0, 1, (8,)).astype(np.float32)
+    tp = torch.tensor(p, requires_grad=True)
+    loss = torch.nn.BCELoss(reduction="sum")(tp, torch.tensor(t))
+    loss.backward()
+    g = jax.grad(lambda p: _bce_sum(p, jnp.asarray(t)))(jnp.asarray(p))
+    np.testing.assert_allclose(np.asarray(g), tp.grad.numpy(), rtol=1e-4)
+
+
+def test_train_step_learns():
+    rng = np.random.default_rng(0)
+    step, state, _ = _setup(accum=1)
+    imgs, labels = _batch(rng)
+    losses = []
+    for _ in range(6):
+        state = step(state, imgs, labels)
+        losses.append(float(state.loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 6
+    assert all(bool(jnp.isfinite(p).all()) for p in jax.tree.leaves(state.params))
+
+
+def test_accumulation_updates_every_k():
+    rng = np.random.default_rng(0)
+    step, state, _ = _setup(accum=2)
+    imgs, labels = _batch(rng)
+    p0 = np.asarray(jax.tree.leaves(state.params)[0])
+    state = step(state, imgs, labels)
+    p1 = np.asarray(jax.tree.leaves(state.params)[0])
+    np.testing.assert_array_equal(p0, p1)  # first micro-step: no update
+    # accumulated grads are non-zero
+    assert np.abs(np.asarray(jax.tree.leaves(state.accum_grads)[0])).sum() > 0
+    state = step(state, imgs, labels)
+    p2 = np.asarray(jax.tree.leaves(state.params)[0])
+    assert np.abs(p2 - p0).sum() > 0      # second micro-step applies
+    # buffer reset after apply
+    assert np.abs(np.asarray(jax.tree.leaves(state.accum_grads)[0])).sum() == 0
+
+
+def test_train_state_checkpoint_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    step, state, _ = _setup(accum=1)
+    imgs, labels = _batch(rng)
+    state = step(state, imgs, labels)
+
+    bundle = {
+        "variables": {"params": state.params, "batch_stats": state.batch_stats},
+        "opt_state": state.opt_state,
+        "meta": {"step": int(state.step), "epoch": 3, "best_ap50": 0.5},
+    }
+    path = ckpt_lib.save_checkpoint(bundle, is_best=True,
+                                    output_dir=str(tmp_path),
+                                    meta={"epoch": 3})
+    raw = ckpt_lib.load_checkpoint_raw(path)
+    assert raw["meta"]["epoch"] == 3
+
+    # restore onto a fresh state template
+    _, fresh, _ = _setup(accum=1)
+    restored_opt = ckpt_lib.restore_onto(fresh.opt_state, raw["opt_state"])
+    restored_params = ckpt_lib.restore_onto(fresh.params,
+                                            raw["variables"]["params"])
+    for a, b in zip(jax.tree.leaves(restored_params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(restored_opt),
+                    jax.tree.leaves(state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # model_best copy exists
+    assert (tmp_path / "model_best.ckpt").exists()
+
+
+def test_batch_stats_updated_and_replicated():
+    rng = np.random.default_rng(0)
+    step, state, _ = _setup(accum=1)
+    bs0 = np.asarray(jax.tree.leaves(state.batch_stats)[0])
+    imgs, labels = _batch(rng)
+    state = step(state, imgs, labels)
+    bs1 = np.asarray(jax.tree.leaves(state.batch_stats)[0])
+    assert np.abs(bs1 - bs0).sum() > 0

@@ -42,12 +42,37 @@ from yolov4_tpu.models.decode import STRIDES
 _LOG_CLAMP = -100.0  # torch.nn.BCELoss clamps log values at -100
 
 
-def _bce_sum(p: jnp.ndarray, t: jnp.ndarray,
-             weight: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Binary cross entropy on probabilities, reduction='sum', torch clamp."""
+@jax.custom_vjp
+def _bce_elem(p: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise BCE on probabilities with torch.nn.BCELoss semantics:
+    forward log values clamped at -100; backward (p - t) / max(p(1-p), 1e-12)
+    (ATen binary_cross_entropy_backward). The custom vjp avoids the NaN that
+    autodiff produces at exact p=0/1 (0 * inf), which masked cells hit."""
     log_p = jnp.maximum(jnp.log(p), _LOG_CLAMP)
     log_1p = jnp.maximum(jnp.log1p(-p), _LOG_CLAMP)
-    per_elem = -(t * log_p + (1.0 - t) * log_1p)
+    return -(t * log_p + (1.0 - t) * log_1p)
+
+
+def _bce_elem_fwd(p, t):
+    return _bce_elem(p, t), (p, t)
+
+
+def _bce_elem_bwd(res, g):
+    p, t = res
+    dp = g * (p - t) / jnp.maximum(p * (1.0 - p), 1e-12)
+    log_p = jnp.maximum(jnp.log(p), _LOG_CLAMP)
+    log_1p = jnp.maximum(jnp.log1p(-p), _LOG_CLAMP)
+    dt = g * (log_1p - log_p)
+    return dp, dt
+
+
+_bce_elem.defvjp(_bce_elem_fwd, _bce_elem_bwd)
+
+
+def _bce_sum(p: jnp.ndarray, t: jnp.ndarray,
+             weight: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Binary cross entropy on probabilities, reduction='sum'."""
+    per_elem = _bce_elem(p, t)
     if weight is not None:
         per_elem = per_elem * weight
     return jnp.sum(per_elem)

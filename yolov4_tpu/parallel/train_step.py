@@ -1,0 +1,118 @@
+"""Data-parallel training step: one compiled XLA program per step.
+
+Replaces the reference's python train loop body (engine/build.py:55-69:
+forward, loss, apex scaled backward, DDP allreduce, optimizer step) with a
+``shard_map`` over the device mesh:
+
+  * batch sharded on the 'data' axis; params/optimizer state replicated,
+  * per-shard BatchNorm batch statistics (the reference trains with
+    per-replica BN — sync_bn is parsed but never applied, SURVEY
+    discrepancy #8); running stats are pmean'd so they stay replicated,
+  * gradients pmean'd over ICI inside the program (XLA overlaps the
+    reduction with backward compute, replacing DDP delay_allreduce),
+  * gradient accumulation by state-carried sums with an optimizer update
+    every ACCUMULATION_STEPS micro-steps (loss pre-divided by the step
+    count, engine/build.py:61),
+  * the LR schedule evaluated at the current micro-step inside the program
+    (per-iteration warmup, reference lr_schedulers/build.py:17-27).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from yolov4_tpu.parallel.mesh import DATA_AXIS
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray                 # global micro-step counter
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    accum_grads: Any                  # gradient accumulation buffer
+    loss: jnp.ndarray                 # last step's (replica-mean) loss
+
+
+def create_train_state(variables: Dict[str, Any],
+                       tx: optax.GradientTransformation) -> TrainState:
+    params = variables["params"]
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(params),
+        accum_grads=zeros,
+        loss=jnp.zeros((), jnp.float32),
+    )
+
+
+def make_train_step(model, criterion, tx: optax.GradientTransformation,
+                    lr_schedule: Callable, mesh: Mesh,
+                    accumulation_steps: int = 1) -> Callable:
+    """Returns jitted step(state, images, labels) -> state.
+
+    images: [B_global, S, S, 3] float32, labels: [B_global, K, 5] — both
+    sharded on the leading axis across the mesh.
+    """
+
+    def shard_body(state: TrainState, images, labels) -> TrainState:
+        def loss_fn(params):
+            outputs, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, train=True, mutable=["batch_stats"])
+            loss = criterion(outputs, {"padded_labels": labels})
+            return loss / accumulation_steps, mutated["batch_stats"]
+
+        (loss, new_batch_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        # cross-replica reductions over ICI
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        new_batch_stats = jax.lax.pmean(new_batch_stats, DATA_AXIS)
+
+        accum = jax.tree.map(jnp.add, state.accum_grads, grads)
+        apply_now = (state.step + 1) % accumulation_steps == 0
+        lr = lr_schedule(state.step)
+
+        def do_update(operand):
+            accum, opt_state, params = operand
+            updates, new_opt_state = tx.update(accum, opt_state, params)
+            updates = jax.tree.map(lambda u: -lr * u, updates)
+            new_params = optax.apply_updates(params, updates)
+            zeros = jax.tree.map(jnp.zeros_like, accum)
+            return zeros, new_opt_state, new_params
+
+        def no_update(operand):
+            return operand
+
+        accum, opt_state, params = jax.lax.cond(
+            apply_now, do_update, no_update,
+            (accum, state.opt_state, state.params))
+
+        return state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=new_batch_stats,
+            opt_state=opt_state,
+            accum_grads=accum,
+            loss=loss * accumulation_steps,  # report the undivided loss
+        )
+
+    sharded = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
