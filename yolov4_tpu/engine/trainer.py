@@ -1,0 +1,191 @@
+"""Training engine (reference main_amp.py:61-235 + engine/build.py:41-108).
+
+Epoch loop: sharded host loading -> one compiled shard_map step per
+iteration (forward, loss, pmean grads, accumulation, optimizer, LR — all
+on device) -> periodic throughput/loss logging -> per-epoch COCO validation
+on the primary process -> checkpointing with best-AP50 tracking (the
+reference's criterion, main_amp.py:215-218) and FULL state resume
+(params + batch_stats + optimizer + counters; the reference's optimizer
+restore was dead code, SURVEY discrepancy #7).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from yolov4_tpu.data.pipeline import build_data
+from yolov4_tpu.engine.evaluator import validate
+from yolov4_tpu.engine.predictor import Predictor
+from yolov4_tpu.models import build_model
+from yolov4_tpu.models.yolov4 import init_variables
+from yolov4_tpu.ops.loss import build_criterion
+from yolov4_tpu.optim import build_lr_schedule, build_optimizer
+from yolov4_tpu.parallel import create_mesh, create_train_state, make_train_step
+from yolov4_tpu.parallel.mesh import batch_sharding
+from yolov4_tpu.utils import checkpoint as ckpt_lib
+from yolov4_tpu.utils.logging import get_logger
+from yolov4_tpu.utils.metrics import AverageMeter
+
+logger = get_logger(__name__)
+
+
+class Trainer:
+    def __init__(self, cfg: Dict, data_root: str, resume: Optional[str] = None,
+                 print_freq: int = 10, seed: int = 0):
+        self.cfg = cfg
+        self.print_freq = print_freq
+        self.output_dir = cfg["TRAIN"]["OUTPUT_DIR"]
+        self.process_index = jax.process_index()
+        self.is_primary = self.process_index == 0
+
+        self.mesh = create_mesh()
+        self.batch_sharding = batch_sharding(self.mesh)
+        n_devices = len(jax.devices())
+        local_devices = len(jax.local_devices())
+        logger.info(f"mesh: {n_devices} device(s), "
+                    f"{jax.process_count()} process(es)")
+
+        # per-process loaders; global batch = BATCH_SIZE * n_devices
+        per_process_batch = cfg["DATA"]["BATCH_SIZE"] * local_devices
+        self.train_loader, self.val_loader = build_data(
+            cfg, data_root, process_index=self.process_index,
+            process_count=jax.process_count(), seed=seed)
+        self.train_loader.batch_size = per_process_batch
+        self.train_loader.drop_last = True
+
+        self.model = build_model(cfg)
+        self.criterion = build_criterion(cfg)
+
+        variables = init_variables(
+            self.model, jax.random.PRNGKey(seed), cfg["TRAIN"]["IMGSIZE"])
+        pretrained = cfg["MODEL"].get("BACKBONE_PRETRAINED")
+        if pretrained and os.path.isfile(pretrained):
+            logger.info(f"loading pretrained backbone: {pretrained}")
+            variables = ckpt_lib.load_pretrained_backbone(variables, pretrained)
+        elif pretrained:
+            logger.warning(f"BACKBONE_PRETRAINED not found, skipping: {pretrained}")
+
+        self.tx = build_optimizer(cfg, variables["params"])
+        self.lr_schedule = build_lr_schedule(cfg, len_epoch=len(self.train_loader))
+        self.train_step = make_train_step(
+            self.model, self.criterion, self.tx, self.lr_schedule, self.mesh,
+            accumulation_steps=cfg["TRAIN"]["ACCUMULATION_STEPS"])
+        self.state = create_train_state(variables, self.tx)
+
+        self.start_epoch = cfg["TRAIN"]["START_EPOCH"]
+        self.best_ap50 = 0.0
+        self.best_ap50_95 = 0.0
+        if resume:
+            self._resume(resume)
+
+        self.predictor = Predictor(
+            cfg, variables={"params": self.state.params,
+                            "batch_stats": self.state.batch_stats},
+            batch_size=cfg["TEST"].get("BATCH_SIZE", 8))
+
+    # ------------------------------------------------------------------
+    def _resume(self, path: str) -> None:
+        logger.info(f"resuming from {path}")
+        raw = ckpt_lib.load_checkpoint_raw(path)
+        variables = raw["variables"]
+        self.state = self.state.replace(
+            params=ckpt_lib.restore_onto(self.state.params, variables["params"]),
+            batch_stats=ckpt_lib.restore_onto(self.state.batch_stats,
+                                              variables["batch_stats"]),
+        )
+        if "opt_state" in raw:  # full resume (reference's was dead code)
+            self.state = self.state.replace(
+                opt_state=ckpt_lib.restore_onto(self.state.opt_state,
+                                                raw["opt_state"]))
+        meta = raw.get("meta", {})
+        self.start_epoch = int(meta.get("epoch", -1)) + 1
+        self.best_ap50 = float(meta.get("best_ap50", 0.0))
+        self.best_ap50_95 = float(meta.get("best_ap50_95", 0.0))
+        if "step" in meta:
+            self.state = self.state.replace(
+                step=np.asarray(int(meta["step"]), np.int32))
+        logger.info(f"resumed at epoch {self.start_epoch}, "
+                    f"step {int(self.state.step)}, best AP50 {self.best_ap50}")
+
+    def _put_batch(self, imgs: np.ndarray, labels: np.ndarray):
+        imgs = jax.make_array_from_process_local_data(self.batch_sharding, imgs)
+        labels = jax.make_array_from_process_local_data(self.batch_sharding, labels)
+        return imgs, labels
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch: int) -> float:
+        cfg = self.cfg
+        self.train_loader.set_epoch(epoch)
+        n_batches = len(self.train_loader)
+        batch_time = AverageMeter()
+        global_batch = (cfg["DATA"]["BATCH_SIZE"] * len(jax.devices()))
+        end = time.time()
+        loss_val = float("nan")
+
+        for i, (imgs, target) in enumerate(self.train_loader):
+            imgs, labels = self._put_batch(imgs, target["padded_labels"])
+            self.state = self.train_step(self.state, imgs, labels)
+
+            if (i + 1) % self.print_freq == 0:
+                loss_val = float(self.state.loss)  # forces device sync
+                batch_time.update((time.time() - end) / self.print_freq)
+                end = time.time()
+                lr = float(self.lr_schedule(int(self.state.step) - 1))
+                ips = global_batch / max(batch_time.val, 1e-9)
+                logger.info(
+                    f"Epoch: [{epoch + 1}][{i + 1}/{n_batches}] "
+                    f"Time {batch_time.val:.3f} ({batch_time.avg:.3f}) "
+                    f"Speed {ips:.1f} img/s "
+                    f"Lr {lr:.8f} "
+                    f"Loss {loss_val:.4f} "
+                    f"ImgSize: {cfg['TRAIN']['IMGSIZE']}x{cfg['TRAIN']['IMGSIZE']}")
+        return loss_val
+
+    def evaluate(self):
+        self.predictor.variables = {"params": self.state.params,
+                                    "batch_stats": self.state.batch_stats}
+        return validate(self.val_loader, self.predictor,
+                        conf_threshold=self.cfg["TEST"]["CONFTHRE"],
+                        nms_threshold=self.cfg["TEST"]["NMSTHRE"])
+
+    def save(self, epoch: int, ap50: float, ap50_95: float) -> None:
+        if not self.is_primary:
+            return
+        is_best = ap50 > self.best_ap50
+        self.best_ap50 = max(ap50, self.best_ap50)
+        self.best_ap50_95 = max(ap50_95, self.best_ap50_95)
+        bundle = {
+            "variables": {"params": self.state.params,
+                          "batch_stats": self.state.batch_stats},
+            "opt_state": self.state.opt_state,
+            "meta": {"epoch": epoch, "step": int(self.state.step),
+                     "ap50": ap50, "ap50_95": ap50_95,
+                     "best_ap50": self.best_ap50,
+                     "best_ap50_95": self.best_ap50_95},
+        }
+        ckpt_lib.save_checkpoint(bundle, is_best, output_dir=self.output_dir,
+                                 meta=bundle["meta"])
+        logger.info(f"checkpoint saved (epoch {epoch}, best={is_best})")
+
+    def fit(self, evaluate_only: bool = False):
+        if evaluate_only:
+            ap, ap50 = self.evaluate()
+            logger.info(f"AP[.50:.95] = {ap:.5f}  AP50 = {ap50:.5f}")
+            return ap, ap50
+
+        max_epochs = self.cfg["TRAIN"]["MAX_EPOCHS"]
+        for epoch in range(self.start_epoch, max_epochs):
+            t0 = time.time()
+            self.train_epoch(epoch)
+            logger.info(f"epoch {epoch + 1} trained in {time.time() - t0:.1f}s")
+            if self.is_primary:
+                ap, ap50 = self.evaluate()
+                logger.info(f"epoch {epoch + 1}: AP {ap:.5f} AP50 {ap50:.5f} "
+                            f"(best AP50 {max(ap50, self.best_ap50):.5f})")
+                self.save(epoch, ap50, ap)
+        return self.best_ap50_95, self.best_ap50

@@ -16,6 +16,13 @@ _DEFAULT_CACHE = os.path.join(os.path.dirname(os.path.dirname(
 def setup_jax(cache_dir: str | None = None, enable_x64: bool = False) -> None:
     import jax
 
+    # The environment's TPU plugin ignores JAX_PLATFORMS from the env; this
+    # honored escape hatch forces a backend (e.g. YOLOV4_TPU_PLATFORM=cpu
+    # for smoke tests on hosts whose chips are busy).
+    platform = os.environ.get("YOLOV4_TPU_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
     cache_dir = cache_dir or os.environ.get("YOLOV4_TPU_JAX_CACHE", _DEFAULT_CACHE)
     try:
         os.makedirs(cache_dir, exist_ok=True)
