@@ -1,0 +1,101 @@
+"""Classification app tests (data pipeline + LR schedule semantics)."""
+
+import os
+import random
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from yolov4_tpu.classify.data import (ImageFolderDataset, RandAugment,
+                                      random_resized_crop, resize_center_crop)
+from yolov4_tpu.classify.trainer import classifier_lr_schedule, smoothed_ce
+
+
+@pytest.fixture(scope="module")
+def image_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("imagenet"))
+    rng = np.random.default_rng(0)
+    for split, n in [("train", 3), ("val", 2)]:
+        for cls in ("alpha", "beta"):
+            d = os.path.join(root, split, cls)
+            os.makedirs(d)
+            for i in range(n):
+                Image.fromarray(
+                    rng.integers(0, 255, (70, 90, 3), np.uint8)).save(
+                        os.path.join(d, f"{i}.jpg"))
+    return root
+
+
+def test_image_folder_dataset(image_root):
+    ds = ImageFolderDataset(f"{image_root}/train", crop_size=64, is_train=True,
+                            seed=0)
+    assert len(ds) == 6
+    assert ds.class_to_idx == {"alpha": 0, "beta": 1}
+    img, target = ds[0]
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+    assert target["label"] in (0, 1)
+
+    val = ImageFolderDataset(f"{image_root}/val", crop_size=64, val_size=72,
+                             is_train=False)
+    img, _ = val[0]
+    assert img.shape == (64, 64, 3)
+
+
+def test_randaugment_all_ops():
+    rng = random.Random(0)
+    ra = RandAugment(num_ops=2, magnitude=9)
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (64, 64, 3), np.uint8))
+    space = ra._space(64)
+    for name, mag in space:
+        out = ra._apply(img, name, mag, rng)
+        assert out.size == img.size, name
+    for _ in range(20):
+        out = ra(img, rng)
+        assert out.size == img.size
+
+
+def test_geometry_helpers():
+    img = Image.fromarray(np.zeros((100, 150, 3), np.uint8))
+    out = random_resized_crop(img, 64, random.Random(0))
+    assert out.size == (64, 64)
+    out = resize_center_crop(img, 72, 64)
+    assert out.size == (64, 64)
+
+
+def test_classifier_lr_schedule_matches_reference_formula():
+    """reference darknet/main_amp.py:518-546."""
+    base, len_epoch = 0.05, 20
+    sched = classifier_lr_schedule(base, len_epoch)
+
+    def ref(epoch, step):
+        if epoch < 60:
+            f = 0
+        elif epoch < 90:
+            f = 1
+        elif epoch < 110:
+            f = 2
+        else:
+            f = 3
+        lr = base * 0.1 ** f
+        if epoch < 5:
+            lr = lr * float(1 + step + epoch * len_epoch) / (5.0 * len_epoch)
+        return lr
+
+    for epoch in [0, 2, 4, 5, 30, 59, 60, 89, 90, 109, 110, 119]:
+        for step in [0, 7, 19]:
+            got = float(sched(epoch * len_epoch + step))
+            assert got == pytest.approx(ref(epoch, step), rel=1e-6), (epoch, step)
+
+
+def test_smoothed_ce_value():
+    import jax.numpy as jnp
+    logits = jnp.asarray([[10.0, -10.0]])
+    labels = jnp.asarray([0])
+    # smoothing 0.1 over 2 classes: target [0.95, 0.05]
+    loss = float(smoothed_ce(logits, labels, 2, smoothing=0.1))
+    import numpy as np
+    logp = np.log(np.exp([10.0, -10.0]) / np.exp([10.0, -10.0]).sum())
+    want = -(0.95 * logp[0] + 0.05 * logp[1])
+    assert loss == pytest.approx(want, rel=1e-5)

@@ -1,0 +1,240 @@
+"""CSPDarknet53 ImageNet classification trainer
+(reference darknet/main_amp.py:120-547), TPU-native.
+
+Data-parallel shard_map step: uint8 batches normalized ON DEVICE with
+ImageNet mean/std (the reference's CUDA-stream prefetcher did this,
+main_amp.py:284-321), cross-entropy with label smoothing 0.1
+(main_amp.py:184), Adam with LR scaled by global_batch/256
+(main_amp.py:154-159), step-LR at 60/90/110 with 5-epoch warmup applied
+per iteration (main_amp.py:518-546), top-1/top-5 validation, best-prec1
+checkpointing. The resulting checkpoint's backbone subtree is what
+YOLOv4 training consumes as BACKBONE_PRETRAINED.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from yolov4_tpu.classify.data import IMAGENET_MEAN, IMAGENET_STD
+from yolov4_tpu.models.darknet import CSPDarknet53
+from yolov4_tpu.parallel.mesh import DATA_AXIS, batch_sharding, create_mesh
+from yolov4_tpu.parallel.train_step import TrainState, create_train_state
+from yolov4_tpu.utils import checkpoint as ckpt_lib
+from yolov4_tpu.utils.logging import get_logger
+from yolov4_tpu.utils.metrics import AverageMeter
+
+logger = get_logger(__name__)
+
+
+def classifier_lr_schedule(base_lr: float, len_epoch: int):
+    """Step LR 60/90/110 (gamma 0.1) + 5-epoch per-iteration warmup
+    (reference darknet/main_amp.py:518-546)."""
+    milestones = jnp.asarray([60, 90, 110])
+
+    def schedule(global_step):
+        global_step = jnp.asarray(global_step)
+        epoch = global_step // len_epoch
+        factor = jnp.sum(epoch >= milestones).astype(jnp.float32)
+        lr = base_lr * 0.1 ** factor
+        warm = lr * (1.0 + global_step.astype(jnp.float32)) / (5.0 * len_epoch)
+        return jnp.where(epoch < 5, warm, lr)
+
+    return schedule
+
+
+def normalize_images(u8: jnp.ndarray) -> jnp.ndarray:
+    """uint8 NHWC -> normalized float (on device)."""
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+    return (u8.astype(jnp.float32) - mean) / std
+
+
+def smoothed_ce(logits: jnp.ndarray, labels: jnp.ndarray,
+                num_classes: int, smoothing: float = 0.1) -> jnp.ndarray:
+    target = optax.smooth_labels(
+        jax.nn.one_hot(labels, num_classes), smoothing)
+    return jnp.mean(optax.softmax_cross_entropy(logits.astype(jnp.float32),
+                                                target))
+
+
+def make_cls_train_step(model, tx, lr_schedule, mesh, num_classes: int):
+    def shard_body(state: TrainState, u8, labels) -> TrainState:
+        def loss_fn(params):
+            logits, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                normalize_images(u8), train=True, mutable=["batch_stats"])
+            return smoothed_ce(logits, labels, num_classes), mutated["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        new_bs = jax.lax.pmean(new_bs, DATA_AXIS)
+
+        lr = lr_schedule(state.step)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             batch_stats=new_bs, opt_state=opt_state,
+                             loss=loss)
+
+    sharded = shard_map(shard_body, mesh=mesh,
+                        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+                        out_specs=P(), check_vma=False)
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_eval_step(model):
+    @jax.jit
+    def eval_step(variables, u8, labels):
+        logits = model.apply(variables, normalize_images(u8), train=False)
+        top5 = jnp.argsort(-logits, axis=-1)[:, :5]
+        correct1 = (top5[:, 0] == labels)
+        correct5 = jnp.any(top5 == labels[:, None], axis=-1)
+        return correct1, correct5
+
+    return eval_step
+
+
+class ClassifierTrainer:
+    def __init__(self, data_root: str, batch_size: int = 128, lr: float = 0.1,
+                 epochs: int = 120, workers: int = 4, crop_size: int = 256,
+                 val_size: int = 288, num_classes: int = 1000,
+                 output_dir: str = "./outputs/cspdarknet53",
+                 print_freq: int = 10, resume: Optional[str] = None,
+                 compute_dtype=jnp.bfloat16, seed: int = 0):
+        from yolov4_tpu.classify.data import ImageFolderDataset
+        from yolov4_tpu.data.pipeline import DataLoader
+
+        self.print_freq = print_freq
+        self.epochs = epochs
+        self.output_dir = output_dir
+        self.num_classes = num_classes
+        self.mesh = create_mesh()
+        self.sharding = batch_sharding(self.mesh)
+        n_devices = len(jax.devices())
+        self.global_batch = batch_size * n_devices
+        # reference LR scaling: lr * global_batch / 256 (main_amp.py:154-155)
+        self.base_lr = lr * self.global_batch / 256.0
+
+        self.train_ds = ImageFolderDataset(
+            f"{data_root}/train", crop_size, val_size, is_train=True, seed=seed)
+        self.val_ds = ImageFolderDataset(
+            f"{data_root}/val", crop_size, val_size, is_train=False)
+        local_batch = batch_size * len(jax.local_devices())
+        self.train_loader = DataLoader(
+            self.train_ds, local_batch, shuffle=True, num_workers=workers,
+            seed=seed, drop_last=True, process_index=jax.process_index(),
+            process_count=jax.process_count())
+        self.val_loader = DataLoader(self.val_ds, local_batch, shuffle=False,
+                                     num_workers=workers)
+
+        self.model = CSPDarknet53(num_classes=num_classes, dtype=compute_dtype)
+        init = jax.jit(lambda r, d: self.model.init({"params": r}, d, train=False))
+        variables = init(jax.random.PRNGKey(seed),
+                         jnp.zeros((1, crop_size, crop_size, 3), jnp.float32))
+
+        # torch Adam defaults; weight decay ignored for Adam as in reference
+        self.tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+        self.lr_schedule = classifier_lr_schedule(
+            self.base_lr, len(self.train_loader))
+        self.train_step = make_cls_train_step(
+            self.model, self.tx, self.lr_schedule, self.mesh, num_classes)
+        self.eval_step = make_eval_step(self.model)
+        self.state = create_train_state(
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]}, self.tx)
+
+        self.start_epoch = 0
+        self.best_prec1 = 0.0
+        if resume:
+            raw = ckpt_lib.load_checkpoint_raw(resume)
+            self.state = self.state.replace(
+                params=ckpt_lib.restore_onto(self.state.params,
+                                             raw["variables"]["params"]),
+                batch_stats=ckpt_lib.restore_onto(
+                    self.state.batch_stats, raw["variables"]["batch_stats"]),
+                opt_state=ckpt_lib.restore_onto(self.state.opt_state,
+                                                raw["opt_state"]))
+            meta = raw.get("meta", {})
+            self.start_epoch = int(meta.get("epoch", -1)) + 1
+            self.best_prec1 = float(meta.get("best_prec1", 0.0))
+            if "step" in meta:
+                self.state = self.state.replace(
+                    step=np.asarray(int(meta["step"]), np.int32))
+            logger.info(f"resumed epoch {self.start_epoch} "
+                        f"best_prec1 {self.best_prec1:.3f}")
+
+    def _put(self, imgs, labels):
+        imgs = jax.make_array_from_process_local_data(self.sharding, imgs)
+        labels = jax.make_array_from_process_local_data(
+            self.sharding, labels.astype(np.int32))
+        return imgs, labels
+
+    def train_epoch(self, epoch: int) -> None:
+        self.train_loader.set_epoch(epoch)
+        n = len(self.train_loader)
+        batch_time = AverageMeter()
+        end = time.time()
+        for i, (imgs, target) in enumerate(self.train_loader):
+            u8, labels = self._put(imgs, target["label"])
+            self.state = self.train_step(self.state, u8, labels)
+            if (i + 1) % self.print_freq == 0:
+                loss = float(self.state.loss)
+                batch_time.update((time.time() - end) / self.print_freq)
+                end = time.time()
+                lr = float(self.lr_schedule(int(self.state.step) - 1))
+                logger.info(
+                    f"Epoch: [{epoch}][{i + 1}/{n}] "
+                    f"Time {batch_time.val:.3f} "
+                    f"Speed {self.global_batch / max(batch_time.val, 1e-9):.1f} "
+                    f"Lr {lr:.6f} Loss {loss:.4f}")
+
+    def validate(self) -> Tuple[float, float]:
+        variables = {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}
+        n1 = n5 = total = 0
+        for imgs, target in self.val_loader:
+            c1, c5 = self.eval_step(variables, jnp.asarray(imgs),
+                                    jnp.asarray(target["label"].astype(np.int32)))
+            mask = target["batch_mask"]
+            n1 += int(np.asarray(c1)[mask].sum())
+            n5 += int(np.asarray(c5)[mask].sum())
+            total += int(mask.sum())
+        prec1 = 100.0 * n1 / max(total, 1)
+        prec5 = 100.0 * n5 / max(total, 1)
+        logger.info(f"* Prec@1 {prec1:.3f} Prec@5 {prec5:.3f}")
+        return prec1, prec5
+
+    def save(self, epoch: int, prec1: float) -> None:
+        if jax.process_index() != 0:
+            return
+        is_best = prec1 > self.best_prec1
+        self.best_prec1 = max(prec1, self.best_prec1)
+        bundle = {
+            "variables": {"params": self.state.params,
+                          "batch_stats": self.state.batch_stats},
+            "opt_state": self.state.opt_state,
+            "meta": {"epoch": epoch, "step": int(self.state.step),
+                     "prec1": prec1, "best_prec1": self.best_prec1},
+        }
+        ckpt_lib.save_checkpoint(bundle, is_best, output_dir=self.output_dir,
+                                 meta=bundle["meta"])
+
+    def fit(self, evaluate_only: bool = False):
+        if evaluate_only:
+            return self.validate()
+        for epoch in range(self.start_epoch, self.epochs):
+            self.train_epoch(epoch)
+            prec1, _ = self.validate()
+            self.save(epoch, prec1)
+        return self.best_prec1

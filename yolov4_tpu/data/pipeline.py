@@ -32,16 +32,16 @@ def _fetch_batch(args):
 def _collate(dataset, indices, seed: Optional[int]):
     if seed is not None and hasattr(dataset, "seed"):
         dataset.seed(seed)
-    imgs, labels, infos = [], [], []
+    imgs, targets = [], []
     for idx in indices:
         img, target = dataset[int(idx)]
-        imgs.append(np.asarray(img, np.float32))
-        labels.append(np.asarray(target["padded_labels"], np.float32))
-        infos.append(np.asarray(target["img_info"], np.float64))
-    return (
-        np.stack(imgs),
-        {"padded_labels": np.stack(labels), "img_info": np.stack(infos)},
-    )
+        imgs.append(np.asarray(img))
+        targets.append(target)
+    collated = {
+        key: np.stack([np.asarray(t[key]) for t in targets])
+        for key in targets[0]
+    }
+    return np.stack(imgs), collated
 
 
 class DataLoader:

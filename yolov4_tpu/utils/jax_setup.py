@@ -18,8 +18,12 @@ def setup_jax(cache_dir: str | None = None, enable_x64: bool = False) -> None:
 
     # The environment's TPU plugin ignores JAX_PLATFORMS from the env; this
     # honored escape hatch forces a backend (e.g. YOLOV4_TPU_PLATFORM=cpu
-    # for smoke tests on hosts whose chips are busy).
+    # for smoke tests on hosts whose chips are busy). JAX_PLATFORMS=cpu is
+    # also re-asserted through the config so that host-only dryruns (e.g.
+    # the driver's virtual multi-chip check) actually land on CPU.
     platform = os.environ.get("YOLOV4_TPU_PLATFORM")
+    if not platform and os.environ.get("JAX_PLATFORMS") == "cpu":
+        platform = "cpu"
     if platform:
         jax.config.update("jax_platforms", platform)
 
