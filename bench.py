@@ -2,13 +2,14 @@
 """End-to-end inference benchmark (north star: preproc + model + NMS
 images/sec/chip at 608x608, COCO eval protocol shapes).
 
-Measures the full per-image pipeline on one chip:
-  host stretch-resize (cv2, like the val transform) -> uint8 NHWC upload ->
-  on-device normalize + YOLOv4 bf16 forward + decode + class-wise NMS ->
-  detections fetched back to host.
+Per batch, the measured pipeline is exactly what a serving loop does:
+  host stretch-resize (cv2, thread pool) -> FLAT uint8 upload (flat avoids
+  the 3->128 lane-padding transfer tax) -> on-device /255 normalize +
+  YOLOv4 bf16 forward + anchor decode + class-wise NMS -> fixed-shape
+  detections fetched to host.
 
-Host preprocessing of batch i+1 overlaps device execution of batch i
-(async dispatch, fetch one behind), mirroring a production serving loop.
+Host preprocessing and uploads overlap device execution (async dispatch,
+results fetched one batch behind).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The reference publishes no throughput number (BASELINE.md), so
@@ -20,6 +21,7 @@ from __future__ import annotations
 import argparse
 import json
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -29,12 +31,9 @@ setup_jax()
 
 import cv2  # noqa: E402
 import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
 
 from yolov4_tpu.config import load_config  # noqa: E402
-from yolov4_tpu.models import build_model  # noqa: E402
-from yolov4_tpu.models.yolov4 import init_variables  # noqa: E402
-from yolov4_tpu.ops.postprocess import postprocess  # noqa: E402
+from yolov4_tpu.engine.predictor import Predictor  # noqa: E402
 
 
 def make_sources(n: int, seed: int = 0):
@@ -61,49 +60,40 @@ def main():
     parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--conf-thre", type=float, default=0.005)
     parser.add_argument("--nms-thre", type=float, default=0.4)
+    parser.add_argument("--preproc-threads", type=int, default=8)
     args = parser.parse_args()
     size, batch = args.img_size, args.batch_size
 
     cfg = load_config()
-    model = build_model(cfg)  # bf16 compute
-    variables = jax.device_put(
-        init_variables(model, jax.random.PRNGKey(0), size))
-
-    @jax.jit
-    def run(variables, u8):
-        imgs = u8.astype(jnp.float32) / 255.0
-        preds = model.apply(variables, imgs, train=False)
-        return postprocess(preds, cfg["MODEL"]["N_CLASSES"],
-                           args.conf_thre, args.nms_thre,
-                           pre_nms_topk=cfg["TEST"]["PRE_NMS_TOPK"],
-                           max_dets=cfg["TEST"]["MAX_DETS"])
+    predictor = Predictor(cfg, img_size=size, batch_size=batch,
+                          conf_thre=args.conf_thre, nms_thre=args.nms_thre)
 
     sources = make_sources(64)
+    pool = ThreadPoolExecutor(args.preproc_threads)
+
+    def _resize(frame):
+        return cv2.resize(frame[:, :, ::-1], (size, size),
+                          interpolation=cv2.INTER_LINEAR)
 
     def preprocess_batch(i):
         chunk = [sources[(i * batch + j) % len(sources)] for j in range(batch)]
-        resized = [cv2.resize(f[:, :, ::-1], (size, size),
-                              interpolation=cv2.INTER_LINEAR) for f in chunk]
-        return np.stack(resized)
+        return np.stack(list(pool.map(_resize, chunk)))
 
-    # compile + warmup
+    # compile (uint8 variant) + warmup
     for i in range(args.warmup):
-        det, valid = run(variables, jnp.asarray(preprocess_batch(i)))
+        det, valid = predictor.dispatch(preprocess_batch(i))
     np.asarray(det)
 
-    # steady state: preproc of batch i+1 overlaps device batch i
+    # steady state, results fetched one batch behind
     n_dets = 0
     t0 = time.time()
     pending = None
     for i in range(args.iters):
-        u8 = preprocess_batch(i)
-        fut = run(variables, jnp.asarray(u8))
+        fut = predictor.dispatch(preprocess_batch(i))
         if pending is not None:
-            det, valid = pending
-            n_dets += int(np.asarray(valid).sum())
+            n_dets += int(np.asarray(pending[1]).sum())
         pending = fut
-    det, valid = pending
-    n_dets += int(np.asarray(valid).sum())
+    n_dets += int(np.asarray(pending[1]).sum())
     dt = time.time() - t0
 
     images_per_sec = args.iters * batch / dt

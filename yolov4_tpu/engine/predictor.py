@@ -46,8 +46,16 @@ class Predictor:
                 self.model, jax.random.PRNGKey(0), self.img_size)
         self.variables = jax.device_put(variables)
 
+        size = self.img_size
+
         @partial(jax.jit, static_argnames=())
-        def _run(variables, images, conf_thre, nms_thre):
+        def _run(variables, flat_images, conf_thre, nms_thre):
+            # Inputs arrive FLAT [B, S*S*3]: a trailing dim of 3 would be
+            # lane-padded 3->128 during host->device transfer (a ~40x
+            # relayout tax through remote tunnels); reshape on device.
+            images = flat_images.reshape(-1, size, size, 3)
+            if images.dtype == jnp.uint8:
+                images = images.astype(jnp.float32) / 255.0
             preds = self.model.apply(variables, images, train=False)
             return postprocess(
                 preds, self.num_classes, conf_thre, nms_thre,
@@ -55,29 +63,33 @@ class Predictor:
 
         self._run = _run
 
-    def warmup(self) -> None:
-        dummy = jnp.zeros((self.batch_size, self.img_size, self.img_size, 3),
-                          jnp.float32)
+    def warmup(self, dtype=np.float32) -> None:
+        dummy = jnp.zeros((self.batch_size, self.img_size ** 2 * 3), dtype)
         jax.block_until_ready(
             self._run(self.variables, dummy, self.conf_thre, self.nms_thre))
 
-    def predict_device(self, images: jnp.ndarray):
-        """Device-resident path (no host transfer), for benchmarking and
-        fused pipelines. images: [batch_size, S, S, 3] float32 in [0, 1]."""
-        return self._run(self.variables, images, self.conf_thre, self.nms_thre)
-
-    def __call__(self, images: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """images: [B, S, S, 3] float32 in [0, 1], B <= batch_size.
-
-        Returns (detections [B, max_dets, 7], valid [B, max_dets]) numpy,
-        rows = x1, y1, x2, y2, obj, cls_conf, cls_idx in input pixels.
-        """
+    def dispatch(self, images: np.ndarray):
+        """Async path: pad/flatten/upload and dispatch the compiled program;
+        returns device futures (detections, valid). Use for pipelined loops —
+        fetch with np.asarray when needed. images: [B, S, S, 3] float32 in
+        [0, 1] or uint8 (normalized on device)."""
         n = images.shape[0]
         if n < self.batch_size:
             pad = np.zeros((self.batch_size - n, *images.shape[1:]), images.dtype)
             images = np.concatenate([images, pad])
         elif n > self.batch_size:
             raise ValueError(f"batch {n} exceeds compiled size {self.batch_size}")
-        det, valid = self._run(self.variables, jnp.asarray(images),
-                               self.conf_thre, self.nms_thre)
+        flat = np.ascontiguousarray(images).reshape(self.batch_size, -1)
+        return self._run(self.variables, jnp.asarray(flat),
+                         self.conf_thre, self.nms_thre)
+
+    def __call__(self, images: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Synchronous predict. images: [B, S, S, 3] float32 in [0, 1] or
+        uint8, B <= batch_size.
+
+        Returns (detections [B, max_dets, 7], valid [B, max_dets]) numpy,
+        rows = x1, y1, x2, y2, obj, cls_conf, cls_idx in input pixels.
+        """
+        n = images.shape[0]
+        det, valid = self.dispatch(images)
         return np.asarray(det)[:n], np.asarray(valid)[:n]

@@ -74,7 +74,8 @@ class Trainer:
         self.lr_schedule = build_lr_schedule(cfg, len_epoch=len(self.train_loader))
         self.train_step = make_train_step(
             self.model, self.criterion, self.tx, self.lr_schedule, self.mesh,
-            accumulation_steps=cfg["TRAIN"]["ACCUMULATION_STEPS"])
+            accumulation_steps=cfg["TRAIN"]["ACCUMULATION_STEPS"],
+            img_size=cfg["TRAIN"]["IMGSIZE"])
         self.state = create_train_state(variables, self.tx)
 
         self.start_epoch = cfg["TRAIN"]["START_EPOCH"]
@@ -113,7 +114,8 @@ class Trainer:
                     f"step {int(self.state.step)}, best AP50 {self.best_ap50}")
 
     def _put_batch(self, imgs: np.ndarray, labels: np.ndarray):
-        imgs = jax.make_array_from_process_local_data(self.batch_sharding, imgs)
+        flat = np.ascontiguousarray(imgs).reshape(imgs.shape[0], -1)
+        imgs = jax.make_array_from_process_local_data(self.batch_sharding, flat)
         labels = jax.make_array_from_process_local_data(self.batch_sharding, labels)
         return imgs, labels
 

@@ -57,14 +57,23 @@ def create_train_state(variables: Dict[str, Any],
 
 def make_train_step(model, criterion, tx: optax.GradientTransformation,
                     lr_schedule: Callable, mesh: Mesh,
-                    accumulation_steps: int = 1) -> Callable:
+                    accumulation_steps: int = 1,
+                    img_size: Optional[int] = None) -> Callable:
     """Returns jitted step(state, images, labels) -> state.
 
-    images: [B_global, S, S, 3] float32, labels: [B_global, K, 5] — both
+    images: [B_global, S, S, 3] float32 — or, when ``img_size`` is given,
+    FLAT [B_global, S*S*3] float32/uint8 reshaped (and, for uint8,
+    normalized by /255) on device. Flat transfer avoids the 3->128 lane
+    padding tax on host->device copies. labels: [B_global, K, 5]. Both
     sharded on the leading axis across the mesh.
     """
 
     def shard_body(state: TrainState, images, labels) -> TrainState:
+        if img_size is not None:
+            images = images.reshape(-1, img_size, img_size, 3)
+            if images.dtype == jnp.uint8:
+                images = images.astype(jnp.float32) / 255.0
+
         def loss_fn(params):
             outputs, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
