@@ -35,6 +35,9 @@ def parse_args():
     parser.add_argument("-e", "--evaluate", action="store_true",
                         help="evaluate on val2017 and exit")
     parser.add_argument("--print-freq", type=int, default=10)
+    parser.add_argument("--profile", type=int, default=0, metavar="N",
+                        help="capture a jax.profiler trace of N steps "
+                             "(reference --prof nvtx equivalent)")
     parser.add_argument("--opt-level", type=str, default=None,
                         choices=["O0", "O1", "O2", "O3"],
                         help="apex-style precision: O0=float32, O1+=bfloat16")
@@ -77,7 +80,8 @@ def main():
     logger.info(f"config: {args.cfg}, compute {cfg['MODEL']['COMPUTE_DTYPE']}")
 
     trainer = Trainer(cfg, args.data, resume=args.resume,
-                      print_freq=args.print_freq, seed=args.seed)
+                      print_freq=args.print_freq, seed=args.seed,
+                      profile_steps=args.profile)
     return trainer.fit(evaluate_only=args.evaluate)
 
 

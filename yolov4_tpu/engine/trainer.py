@@ -36,10 +36,15 @@ logger = get_logger(__name__)
 
 class Trainer:
     def __init__(self, cfg: Dict, data_root: str, resume: Optional[str] = None,
-                 print_freq: int = 10, seed: int = 0):
+                 print_freq: int = 10, seed: int = 0, profile_steps: int = 0):
+        from yolov4_tpu.utils.profiling import StepProfiler
+
         self.cfg = cfg
         self.print_freq = print_freq
         self.output_dir = cfg["TRAIN"]["OUTPUT_DIR"]
+        self.profiler = StepProfiler(
+            os.path.join(cfg["TRAIN"]["OUTPUT_DIR"], "profile"),
+            start=10, count=profile_steps)
         self.process_index = jax.process_index()
         self.is_primary = self.process_index == 0
 
@@ -132,6 +137,10 @@ class Trainer:
         for i, (imgs, target) in enumerate(self.train_loader):
             imgs, labels = self._put_batch(imgs, target["padded_labels"])
             self.state = self.train_step(self.state, imgs, labels)
+            if self.profiler.count:
+                # host-side counter: reading state.step would force a sync
+                self._host_step = getattr(self, "_host_step", 0) + 1
+                self.profiler.on_step(self._host_step)
 
             if (i + 1) % self.print_freq == 0:
                 loss_val = float(self.state.loss)  # forces device sync
@@ -146,6 +155,7 @@ class Trainer:
                     f"Lr {lr:.8f} "
                     f"Loss {loss_val:.4f} "
                     f"ImgSize: {cfg['TRAIN']['IMGSIZE']}x{cfg['TRAIN']['IMGSIZE']}")
+        self.profiler.close()
         return loss_val
 
     def evaluate(self):

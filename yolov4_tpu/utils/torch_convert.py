@@ -127,6 +127,74 @@ def extract_backbone(state_dict: Mapping[str, np.ndarray]) -> Dict[str, np.ndarr
     return out
 
 
+# torch attribute names that natively contain ``_<digit>`` (so their
+# underscores must NOT be split back into Sequential indices). part2_* only
+# behaves this way inside CSPDownSample0, i.e. under a 'stage1' parent
+# (reference darknet/darknet.py:84-113); elsewhere part2 is a Sequential.
+_STAGE1_ATOMICS = ("part2_1_2", "part2_1_1", "part2_2")
+_GLOBAL_ATOMICS = ("module_list",)
+
+
+def _split_module(module: str, in_stage1: bool) -> list:
+    atomics = (_STAGE1_ATOMICS if in_stage1 else ()) + _GLOBAL_ATOMICS
+    for atomic in atomics:
+        if module == atomic:
+            return [atomic]
+        if module.startswith(atomic + "_"):
+            rest = module[len(atomic) + 1:].split("_")
+            assert all(seg.isdigit() for seg in rest), module
+            return [atomic] + rest
+    parts = module.split("_")
+    tail: list = []
+    while parts and parts[-1].isdigit():
+        tail.insert(0, parts.pop())
+    return (["_".join(parts)] if parts else []) + tail
+
+
+def flax_path_to_torch_key(collection: str, path: Path) -> str:
+    """Inverse of torch_key_to_path for this framework's module-name
+    conventions (``neck/spp/conv1_0/conv/kernel`` ->
+    ``neck.spp.conv1.0.conv.weight``)."""
+    *modules, leaf = path
+    segments: list = []
+    in_stage1 = False
+    for module in modules:
+        segments.extend(_split_module(module, in_stage1))
+        in_stage1 = in_stage1 or module == "stage1"
+    if collection == "batch_stats":
+        leaf_name = {"mean": "running_mean", "var": "running_var"}[leaf]
+    else:
+        leaf_name = {"kernel": "weight", "scale": "weight", "bias": "bias"}[leaf]
+    return ".".join(segments + [leaf_name])
+
+
+def export_state_dict(variables: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """{'params', 'batch_stats'} pytrees -> torch-layout numpy state_dict
+    (conv kernels back to OIHW, linear back to [O, I]). The result round-
+    trips through convert_state_dict and can be torch.save'd for users of
+    the reference."""
+    out: Dict[str, np.ndarray] = {}
+
+    def walk(collection, tree, prefix: Path):
+        for key, value in tree.items():
+            if isinstance(value, Mapping):
+                walk(collection, value, prefix + (key,))
+                continue
+            path = prefix + (key,)
+            arr = np.asarray(value)
+            if key == "kernel":
+                if arr.ndim == 4:
+                    arr = np.transpose(arr, (3, 2, 0, 1))  # HWIO -> OIHW
+                elif arr.ndim == 2:
+                    arr = np.transpose(arr, (1, 0))
+            out[flax_path_to_torch_key(collection, path)] = arr
+
+    for collection in ("params", "batch_stats"):
+        if collection in variables:
+            walk(collection, variables[collection], ())
+    return out
+
+
 def _tree_shapes(tree: Any, prefix: Path = ()) -> Dict[Path, Tuple[int, ...]]:
     shapes: Dict[Path, Tuple[int, ...]] = {}
     if isinstance(tree, Mapping):
