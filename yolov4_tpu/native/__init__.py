@@ -1,0 +1,115 @@
+"""Native host kernels (C, OpenMP) with build-on-first-import and a pure
+numpy fallback. See fastops.c for the kernel inventory."""
+
+from __future__ import annotations
+
+import hashlib
+import importlib.util
+import os
+import subprocess
+import sysconfig
+from typing import Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "fastops.c")
+_BUILD_DIR = os.path.join(_DIR, "_build")
+
+_fastops = None
+_build_error: Optional[str] = None
+
+
+def _build() -> Optional[object]:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    so_path = os.path.join(_BUILD_DIR, f"_fastops_{digest}.so")
+    if not os.path.exists(so_path):
+        os.makedirs(_BUILD_DIR, exist_ok=True)
+        include = sysconfig.get_paths()["include"]
+        cmd = [
+            "gcc", "-shared", "-fPIC", "-O3", "-fopenmp", "-march=native",
+            f"-I{include}", _SRC, "-o", so_path + ".tmp",
+        ]
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(so_path + ".tmp", so_path)
+    spec = importlib.util.spec_from_file_location("_fastops", so_path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def get_fastops() -> Optional[object]:
+    """The compiled module, or None if the toolchain is unavailable."""
+    global _fastops, _build_error
+    if _fastops is None and _build_error is None:
+        try:
+            _fastops = _build()
+        except Exception as exc:  # no gcc / sandbox: numpy fallback
+            _build_error = str(exc)
+    return _fastops
+
+
+def available() -> bool:
+    return get_fastops() is not None
+
+
+# ---------------------------------------------------------------------------
+# public wrappers (native when possible, numpy otherwise)
+
+def pack_f32_flat(batch_u8: np.ndarray, scale: float = 1.0 / 255.0) -> np.ndarray:
+    """uint8 [B, ...] -> float32 flat [B, prod(...)] * scale."""
+    batch_u8 = np.ascontiguousarray(batch_u8)
+    b = batch_u8.shape[0]
+    flat_len = batch_u8.size // b
+    ops = get_fastops()
+    if ops is None:
+        return (batch_u8.reshape(b, flat_len).astype(np.float32) * scale)
+    out = np.empty((b, flat_len), np.float32)
+    ops.pack_f32(batch_u8.reshape(-1), out.reshape(-1), float(scale))
+    return out
+
+
+def pack_planar_u8(batch_u8: np.ndarray) -> np.ndarray:
+    """uint8 NHWC [B, H, W, 3] -> planar uint8 [B, 3, H, W] (contiguous)."""
+    batch_u8 = np.ascontiguousarray(batch_u8)
+    b, h, w, c = batch_u8.shape
+    assert c == 3, batch_u8.shape
+    ops = get_fastops()
+    if ops is None:
+        return np.ascontiguousarray(batch_u8.transpose(0, 3, 1, 2))
+    out = np.empty((b, 3, h, w), np.uint8)
+    ops.pack_planar(batch_u8.reshape(-1), out.reshape(-1), b, h, w)
+    return out
+
+
+def greedy_nms_host(boxes_xyxy: np.ndarray, valid: np.ndarray,
+                    iou_thresh: float) -> np.ndarray:
+    """Score-sorted greedy NMS on the host. boxes [K, 4] f32, valid [K]."""
+    boxes_xyxy = np.ascontiguousarray(boxes_xyxy, np.float32)
+    valid_u8 = np.ascontiguousarray(valid, np.uint8)
+    k = valid_u8.shape[0]
+    ops = get_fastops()
+    if ops is None:
+        keep = valid_u8.astype(bool).copy()
+        for i in range(k):
+            if not keep[i]:
+                continue
+            xi1, yi1, xi2, yi2 = boxes_xyxy[i]
+            ai = (xi2 - xi1) * (yi2 - yi1)
+            for j in range(i + 1, k):
+                if not keep[j]:
+                    continue
+                tx, ty = max(boxes_xyxy[j, 0], xi1), max(boxes_xyxy[j, 1], yi1)
+                bx, by = min(boxes_xyxy[j, 2], xi2), min(boxes_xyxy[j, 3], yi2)
+                if tx >= bx or ty >= by:
+                    continue
+                inter = (bx - tx) * (by - ty)
+                aj = ((boxes_xyxy[j, 2] - boxes_xyxy[j, 0])
+                      * (boxes_xyxy[j, 3] - boxes_xyxy[j, 1]))
+                if inter / max(ai + aj - inter, 1e-12) >= iou_thresh:
+                    keep[j] = False
+        return keep
+    keep = np.empty(k, np.uint8)
+    ops.greedy_nms(boxes_xyxy.reshape(-1), valid_u8, float(iou_thresh), keep)
+    return keep.astype(bool)
