@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
 
@@ -84,19 +85,24 @@ def main():
         det, valid = predictor.dispatch(preprocess_batch(i))
     np.asarray(det)
 
-    # steady state, results fetched one batch behind
-    n_dets = 0
-    t0 = time.time()
-    pending = None
-    for i in range(args.iters):
-        fut = predictor.dispatch(preprocess_batch(i))
-        if pending is not None:
-            n_dets += int(np.asarray(pending[1]).sum())
-        pending = fut
-    n_dets += int(np.asarray(pending[1]).sum())
-    dt = time.time() - t0
+    # The shared-tunnel environment is noisy: measure several windows and
+    # report the median (per-window rates go to stderr).
+    def window(n_iters):
+        t0 = time.time()
+        pending = None
+        for i in range(n_iters):
+            fut = predictor.dispatch(preprocess_batch(i))
+            if pending is not None:
+                np.asarray(pending[1])
+            pending = fut
+        np.asarray(pending[1])
+        return n_iters * batch / (time.time() - t0)
 
-    images_per_sec = args.iters * batch / dt
+    windows = max(3, args.iters // 10)
+    per_window = max(5, args.iters // windows)
+    rates = [window(per_window) for _ in range(windows)]
+    print(f"windows (img/s): {[round(r, 1) for r in rates]}", file=sys.stderr)
+    images_per_sec = float(np.median(rates))
     result = {
         "metric": f"coco_e2e_images_per_sec_per_chip_{size}",
         "value": round(images_per_sec, 2),

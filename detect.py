@@ -93,7 +93,7 @@ def main():
     else:
         logger.warning("no --ckpt given: running with RANDOM weights")
 
-    transform = Transform(cfg, is_train=False)
+    transform = Transform(cfg, is_train=False, keep_uint8=True)
     raw_imgs, batch, infos = [], [], []
     for p in paths:
         img = cv2.imread(p)

@@ -52,7 +52,7 @@ def main():
 
     dataset = COCODataset(
         root=args.data, name="val2017", img_size=cfg["TEST"]["IMGSIZE"],
-        is_train=False, transform=Transform(cfg, is_train=False),
+        is_train=False, transform=Transform(cfg, is_train=False, keep_uint8=True),
         num_classes=cfg["MODEL"]["N_CLASSES"])
     loader = DataLoader(dataset, batch_size=batch_size, shuffle=False,
                         num_workers=workers)

@@ -145,7 +145,8 @@ def build_data(cfg: Dict, data_root: str, process_index: int = 0,
         num_classes=cfg["MODEL"]["N_CLASSES"])
     val_dataset = COCODataset(
         root=data_root, name="val2017", img_size=cfg["TEST"]["IMGSIZE"],
-        is_train=False, transform=Transform(cfg, is_train=False),
+        is_train=False,
+        transform=Transform(cfg, is_train=False, keep_uint8=True),
         num_classes=cfg["MODEL"]["N_CLASSES"])
 
     train_loader = DataLoader(

@@ -230,8 +230,13 @@ class Transform:
     """
 
     def __init__(self, cfg: Dict, is_train: bool = True,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None, keep_uint8: bool = False):
+        """keep_uint8: for the val path, skip the /255 normalization and
+        return uint8 HWC — normalization then happens on device (4x less
+        host->device traffic). Ignored for the train path (augmentation is
+        float-valued)."""
         self.is_train = is_train
+        self.keep_uint8 = keep_uint8 and not is_train
         aug = cfg["AUGMENTATION"]
         self.jitter_ratio = aug["JITTER"]
         self.is_flip = aug["RANDOM_HORIZONTAL_FLIP"]
@@ -305,7 +310,10 @@ class Transform:
             out_img, out_bboxes, img_info = self._val_item(
                 img_list, bboxes_list, img_size)
 
-        out_img = np.ascontiguousarray(out_img, dtype=np.float32) / 255.0
+        if self.keep_uint8:
+            out_img = np.ascontiguousarray(out_img, dtype=np.uint8)
+        else:
+            out_img = np.ascontiguousarray(out_img, dtype=np.float32) / 255.0
 
         padded = np.zeros((self.max_num_labels, 5), np.float32)
         if len(out_bboxes) > 0:
