@@ -55,6 +55,23 @@ def test_train_transform_mosaic_shapes(rng):
     assert (lab[valid][:, 4] < 80).all()
 
 
+def test_val_transform_keep_uint8(rng):
+    cfg = load_config()
+    t_f32 = T.Transform(cfg, is_train=False)
+    t_u8 = T.Transform(cfg, is_train=False, keep_uint8=True)
+    img = _image(rng)
+    boxes = _boxes_tlwh(rng, 2)
+    out_f, tgt_f = t_f32([img.copy()], [boxes.copy()], 128)
+    out_u, tgt_u = t_u8([img.copy()], [boxes.copy()], 128)
+    assert out_u.dtype == np.uint8
+    np.testing.assert_allclose(out_u.astype(np.float32) / 255.0, out_f, atol=1e-7)
+    np.testing.assert_allclose(tgt_u["padded_labels"], tgt_f["padded_labels"])
+    # keep_uint8 is a no-op for the (float-valued) train path
+    t_train = T.Transform(cfg, is_train=True, keep_uint8=True, seed=0)
+    out_t, _ = t_train([img.copy()] * 4, [_boxes_tlwh(rng, 2) for _ in range(4)], 128)
+    assert out_t.dtype == np.float32
+
+
 def test_train_transform_no_mosaic(rng):
     cfg = load_config()
     cfg["AUGMENTATION"]["IS_MOSAIC"] = False

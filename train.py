@@ -74,6 +74,17 @@ def main():
     if args.sync_bn:
         logger.warning("--sync_bn requested: not applied (per-replica BN, "
                        "matching the reference YOLO trainer)")
+    if args.deterministic:
+        # XLA TPU programs are deterministic for this workload; host-side
+        # randomness (shuffling, augmentation) is already seed-derived.
+        # This pins the base seed like the reference's torch.manual_seed
+        # (main_amp.py:81-85).
+        import random as _random
+
+        import numpy as _np
+        _random.seed(args.seed)
+        _np.random.seed(args.seed)
+        logger.info(f"deterministic mode: base seed {args.seed}")
 
     # re-init logging with the output dir now that cfg is loaded
     setup_logging(jax.process_index(), output_dir=cfg["TRAIN"]["OUTPUT_DIR"])

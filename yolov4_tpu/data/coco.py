@@ -106,7 +106,13 @@ class COCODataset:
             json_file = "instances_val2017.json"
         else:
             raise ValueError(f"{name} does not match any files")
-        self.coco = COCOIndex(os.path.join(root, "annotations", json_file))
+        annotation_file = os.path.join(root, "annotations", json_file)
+        if not os.path.isfile(annotation_file):
+            raise FileNotFoundError(
+                f"COCO annotations not found: {annotation_file} — expected "
+                f"layout: {root}/annotations/instances_*.json + "
+                f"{root}/images/{name}/*.jpg")
+        self.coco = COCOIndex(annotation_file)
         self.ids = self.coco.get_img_ids()
         self.class_ids = sorted(self.coco.get_cat_ids())
         self._py_rng = random.Random(seed)
