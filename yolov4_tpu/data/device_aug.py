@@ -226,6 +226,21 @@ def _augment_sample(key, imgs_u8, boxes, size, max_labels, cfg_vals):
     return mosaic_img / 255.0, labels
 
 
+def augment_batch_impl(key: jax.Array, canvases: jnp.ndarray,
+                       boxes: jnp.ndarray, size: int, max_labels: int = 60,
+                       jitter: float = 0.3, hue: float = 0.1,
+                       saturation: float = 1.5, exposure: float = 1.5,
+                       min_offset: float = 0.2, flip: bool = True,
+                       dither: bool = True):
+    """Non-jitted body (composable inside a larger program, e.g. the train
+    step). See :func:`augment_batch` for the argument contract."""
+    b = canvases.shape[0]
+    keys = jax.random.split(key, b)
+    cfg_vals = (jitter, hue, saturation, exposure, min_offset, flip, dither)
+    fn = lambda k, c, bx: _augment_sample(k, c, bx, size, max_labels, cfg_vals)
+    return jax.vmap(fn)(keys, canvases, boxes)
+
+
 @partial(jax.jit, static_argnames=("size", "max_labels", "jitter", "hue",
                                    "saturation", "exposure", "min_offset",
                                    "flip", "dither"))
@@ -240,8 +255,45 @@ def augment_batch(key: jax.Array, canvases: jnp.ndarray, boxes: jnp.ndarray,
     boxes:    [B, 4, K, 5] float32 xyxy+cls in canvas pixels (zero padded)
     Returns (images [B, S, S, 3] f32 in [0,1], labels [B, K, 5] cxcywh+cls).
     """
-    b = canvases.shape[0]
-    keys = jax.random.split(key, b)
-    cfg_vals = (jitter, hue, saturation, exposure, min_offset, flip, dither)
-    fn = lambda k, c, bx: _augment_sample(k, c, bx, size, max_labels, cfg_vals)
-    return jax.vmap(fn)(keys, canvases, boxes)
+    return augment_batch_impl(key, canvases, boxes, size, max_labels, jitter,
+                              hue, saturation, exposure, min_offset, flip,
+                              dither)
+
+
+class CanvasTransform:
+    """Host-side minimal prep for the device pipeline: per mosaic member,
+    BGR->RGB + stretch-resize to the canvas + box scaling. The actual
+    augmentation runs on device (augment_batch). Duck-types data/transforms
+    .Transform (is_mosaic attribute drives the dataset's 4-image sampling).
+    """
+
+    is_mosaic = True
+    is_train = True
+
+    def __init__(self, cfg: Dict, seed=None):
+        self.max_num_labels = cfg["DATA"]["MAX_NUM_LABELS"]
+
+    def seed(self, seed) -> None:  # no host randomness
+        pass
+
+    def __call__(self, img_list, bboxes_list, img_size: int):
+        import cv2
+        import numpy as np
+
+        assert len(img_list) == 4, "device mosaic needs 4 members"
+        k = self.max_num_labels
+        canvases = np.zeros((4, img_size, img_size, 3), np.uint8)
+        boxes = np.zeros((4, k, 5), np.float32)
+        for m, (img, tlwh) in enumerate(zip(img_list, bboxes_list)):
+            h, w = img.shape[:2]
+            canvases[m] = cv2.resize(img[:, :, ::-1], (img_size, img_size),
+                                     interpolation=cv2.INTER_LINEAR)
+            if len(tlwh) > 0:
+                n = min(len(tlwh), k)
+                sx, sy = img_size / w, img_size / h
+                boxes[m, :n, 0] = tlwh[:n, 0] * sx
+                boxes[m, :n, 1] = tlwh[:n, 1] * sy
+                boxes[m, :n, 2] = (tlwh[:n, 0] + tlwh[:n, 2]) * sx
+                boxes[m, :n, 3] = (tlwh[:n, 1] + tlwh[:n, 3]) * sy
+                boxes[m, :n, 4] = tlwh[:n, 4]
+        return canvases, {"member_boxes": boxes, "img_info": []}

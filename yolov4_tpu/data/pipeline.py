@@ -139,9 +139,16 @@ def build_data(cfg: Dict, data_root: str, process_index: int = 0,
     from yolov4_tpu.data.coco import COCODataset
     from yolov4_tpu.data.transforms import Transform
 
+    if cfg["AUGMENTATION"].get("DEVICE", False):
+        # host does decode+resize only; crop/flip/HSV/mosaic run on device
+        # inside the train step (data/device_aug.py)
+        from yolov4_tpu.data.device_aug import CanvasTransform
+        train_transform = CanvasTransform(cfg)
+    else:
+        train_transform = Transform(cfg, is_train=True)
     train_dataset = COCODataset(
         root=data_root, name="train2017", img_size=cfg["TRAIN"]["IMGSIZE"],
-        is_train=True, transform=Transform(cfg, is_train=True),
+        is_train=True, transform=train_transform,
         num_classes=cfg["MODEL"]["N_CLASSES"])
     val_dataset = COCODataset(
         root=data_root, name="val2017", img_size=cfg["TEST"]["IMGSIZE"],

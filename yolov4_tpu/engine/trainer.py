@@ -77,10 +77,22 @@ class Trainer:
 
         self.tx = build_optimizer(cfg, variables["params"])
         self.lr_schedule = build_lr_schedule(cfg, len_epoch=len(self.train_loader))
+        self.device_aug = None
+        if cfg["AUGMENTATION"].get("DEVICE", False):
+            aug = cfg["AUGMENTATION"]
+            self.device_aug = {
+                "jitter": aug["JITTER"], "hue": aug["HUE"],
+                "saturation": aug["SATURATION"], "exposure": aug["EXPOSURE"],
+                "min_offset": aug["MIN_OFFSET"],
+                "flip": bool(aug["RANDOM_HORIZONTAL_FLIP"]),
+                "dither": bool(aug["COLOR_DITHERING"]),
+            }
+            logger.info("device-side augmentation enabled")
         self.train_step = make_train_step(
             self.model, self.criterion, self.tx, self.lr_schedule, self.mesh,
             accumulation_steps=cfg["TRAIN"]["ACCUMULATION_STEPS"],
-            img_size=cfg["TRAIN"]["IMGSIZE"])
+            img_size=cfg["TRAIN"]["IMGSIZE"], device_aug=self.device_aug,
+            aug_seed=seed)
         self.state = create_train_state(variables, self.tx)
 
         self.start_epoch = cfg["TRAIN"]["START_EPOCH"]
@@ -119,7 +131,13 @@ class Trainer:
                     f"step {int(self.state.step)}, best AP50 {self.best_ap50}")
 
     def _put_batch(self, imgs: np.ndarray, labels: np.ndarray):
-        flat = np.ascontiguousarray(imgs).reshape(imgs.shape[0], -1)
+        if imgs.ndim == 5:  # device-aug canvases [B, 4, S, S, 3] uint8
+            from yolov4_tpu import native
+            b = imgs.shape[0]
+            planar = native.pack_planar_u8(imgs.reshape((-1,) + imgs.shape[2:]))
+            flat = planar.reshape(b, -1)
+        else:
+            flat = np.ascontiguousarray(imgs).reshape(imgs.shape[0], -1)
         imgs = jax.make_array_from_process_local_data(self.batch_sharding, flat)
         labels = jax.make_array_from_process_local_data(self.batch_sharding, labels)
         return imgs, labels
@@ -134,8 +152,9 @@ class Trainer:
         end = time.time()
         loss_val = float("nan")
 
+        label_key = "member_boxes" if self.device_aug else "padded_labels"
         for i, (imgs, target) in enumerate(self.train_loader):
-            imgs, labels = self._put_batch(imgs, target["padded_labels"])
+            imgs, labels = self._put_batch(imgs, target[label_key])
             self.state = self.train_step(self.state, imgs, labels)
             if self.profiler.count:
                 # host-side counter: reading state.step would force a sync

@@ -58,7 +58,9 @@ def create_train_state(variables: Dict[str, Any],
 def make_train_step(model, criterion, tx: optax.GradientTransformation,
                     lr_schedule: Callable, mesh: Mesh,
                     accumulation_steps: int = 1,
-                    img_size: Optional[int] = None) -> Callable:
+                    img_size: Optional[int] = None,
+                    device_aug: Optional[Dict] = None,
+                    aug_seed: int = 0) -> Callable:
     """Returns jitted step(state, images, labels) -> state.
 
     images: [B_global, S, S, 3] float32 — or, when ``img_size`` is given,
@@ -66,10 +68,29 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
     normalized by /255) on device. Flat transfer avoids the 3->128 lane
     padding tax on host->device copies. labels: [B_global, K, 5]. Both
     sharded on the leading axis across the mesh.
+
+    device_aug: when given (dict of augment_batch kwargs minus size), the
+    step consumes raw mosaic canvases instead: images = flat planar uint8
+    [B, 4*3*S*S], labels = member boxes [B, 4, K, 5] (xyxy+cls canvas px);
+    augmentation (crop/flip/HSV/mosaic) runs inside this same program, with
+    per-(step, shard) PRNG keys.
     """
+    base_key = jax.random.PRNGKey(aug_seed)
 
     def shard_body(state: TrainState, images, labels) -> TrainState:
-        if img_size is not None:
+        if device_aug is not None:
+            from yolov4_tpu.data.device_aug import augment_batch_impl
+
+            b = images.shape[0]
+            canv = images.reshape(b, 4, 3, img_size, img_size)
+            canv = jnp.transpose(canv, (0, 1, 3, 4, 2))  # [B, 4, S, S, 3]
+            key = jax.random.fold_in(
+                jax.random.fold_in(base_key, state.step),
+                jax.lax.axis_index(DATA_AXIS))
+            images, labels = augment_batch_impl(
+                key, canv, labels, size=img_size,
+                max_labels=labels.shape[2], **device_aug)
+        elif img_size is not None:
             images = images.reshape(-1, img_size, img_size, 3)
             if images.dtype == jnp.uint8:
                 images = images.astype(jnp.float32) / 255.0
