@@ -66,6 +66,11 @@ def smoothed_ce(logits: jnp.ndarray, labels: jnp.ndarray,
 
 
 def make_cls_train_step(model, tx, lr_schedule, mesh, num_classes: int):
+    from yolov4_tpu.parallel.train_step import wrap_step
+
+    multi = mesh.devices.size > 1
+    pmean = (lambda x: jax.lax.pmean(x, DATA_AXIS)) if multi else (lambda x: x)
+
     def shard_body(state: TrainState, u8, labels) -> TrainState:
         def loss_fn(params):
             logits, mutated = model.apply(
@@ -75,9 +80,9 @@ def make_cls_train_step(model, tx, lr_schedule, mesh, num_classes: int):
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
-        grads = jax.lax.pmean(grads, DATA_AXIS)
-        loss = jax.lax.pmean(loss, DATA_AXIS)
-        new_bs = jax.lax.pmean(new_bs, DATA_AXIS)
+        grads = pmean(grads)
+        loss = pmean(loss)
+        new_bs = pmean(new_bs)
 
         lr = lr_schedule(state.step)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -87,10 +92,7 @@ def make_cls_train_step(model, tx, lr_schedule, mesh, num_classes: int):
                              batch_stats=new_bs, opt_state=opt_state,
                              loss=loss)
 
-    sharded = shard_map(shard_body, mesh=mesh,
-                        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
-                        out_specs=P(), check_vma=False)
-    return jax.jit(sharded, donate_argnums=(0,))
+    return wrap_step(shard_body, mesh)
 
 
 def make_eval_step(model):

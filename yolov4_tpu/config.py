@@ -77,6 +77,10 @@ DEFAULTS: Dict[str, Dict[str, Any]] = {
         "MAX_EPOCHS": 90,
         "ACCUMULATION_STEPS": 1,
         "OUTPUT_DIR": "./outputs/yolov4",
+        # host->device dtype for train images: bfloat16 halves transfer
+        # bytes vs float32 with negligible effect (compute is bf16 anyway);
+        # uint8 quarters them but quantizes augmented pixels.
+        "TRANSFER_DTYPE": "bfloat16",
     },
     "TEST": {
         "IMGSIZE": 608,

@@ -138,6 +138,12 @@ class Trainer:
             flat = planar.reshape(b, -1)
         else:
             flat = np.ascontiguousarray(imgs).reshape(imgs.shape[0], -1)
+            transfer = self.cfg["TRAIN"].get("TRANSFER_DTYPE", "bfloat16")
+            if flat.dtype == np.float32 and transfer == "bfloat16":
+                import ml_dtypes
+                flat = flat.astype(ml_dtypes.bfloat16)
+            elif flat.dtype == np.float32 and transfer == "uint8":
+                flat = np.clip(flat * 255.0 + 0.5, 0, 255).astype(np.uint8)
         imgs = jax.make_array_from_process_local_data(self.batch_sharding, flat)
         labels = jax.make_array_from_process_local_data(self.batch_sharding, labels)
         return imgs, labels

@@ -76,6 +76,12 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
     per-(step, shard) PRNG keys.
     """
     base_key = jax.random.PRNGKey(aug_seed)
+    multi = mesh.devices.size > 1
+    # On a 1-device mesh the collectives are identities and we jit the body
+    # directly (see wrap_step); resolve them at trace time.
+    pmean = (lambda x: jax.lax.pmean(x, DATA_AXIS)) if multi else (lambda x: x)
+    shard_index = ((lambda: jax.lax.axis_index(DATA_AXIS)) if multi
+                   else (lambda: jnp.int32(0)))
 
     def shard_body(state: TrainState, images, labels) -> TrainState:
         if device_aug is not None:
@@ -85,8 +91,7 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
             canv = images.reshape(b, 4, 3, img_size, img_size)
             canv = jnp.transpose(canv, (0, 1, 3, 4, 2))  # [B, 4, S, S, 3]
             key = jax.random.fold_in(
-                jax.random.fold_in(base_key, state.step),
-                jax.lax.axis_index(DATA_AXIS))
+                jax.random.fold_in(base_key, state.step), shard_index())
             images, labels = augment_batch_impl(
                 key, canv, labels, size=img_size,
                 max_labels=labels.shape[2], **device_aug)
@@ -106,9 +111,9 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
             loss_fn, has_aux=True)(state.params)
 
         # cross-replica reductions over ICI
-        grads = jax.lax.pmean(grads, DATA_AXIS)
-        loss = jax.lax.pmean(loss, DATA_AXIS)
-        new_batch_stats = jax.lax.pmean(new_batch_stats, DATA_AXIS)
+        grads = pmean(grads)
+        loss = pmean(loss)
+        new_batch_stats = pmean(new_batch_stats)
 
         accum = jax.tree.map(jnp.add, state.accum_grads, grads)
         apply_now = (state.step + 1) % accumulation_steps == 0
@@ -137,6 +142,23 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
             accum_grads=accum,
             loss=loss * accumulation_steps,  # report the undivided loss
         )
+
+    return wrap_step(shard_body, mesh)
+
+
+def wrap_step(shard_body: Callable, mesh: Mesh) -> Callable:
+    """jit a per-shard step body for the mesh.
+
+    On a single-device mesh the body is jitted directly (pmean over a
+    1-device axis is the identity, so semantics are unchanged) — through
+    tunneled/experimental backends, shard_map was measured 150x slower than
+    plain jit for the same body (state appears to round-trip off-device).
+    Real multi-device meshes use shard_map with batch sharding.
+    """
+    if mesh.devices.size == 1:
+        # body built with identity collectives (make_train_step's pmean
+        # closure): jit directly.
+        return jax.jit(shard_body, donate_argnums=(0,))
 
     sharded = shard_map(
         shard_body,
