@@ -25,6 +25,9 @@ class OraclePredictor:
     def attach(self, target):
         self._labels = target["padded_labels"]
 
+    def dispatch(self, imgs):
+        return self(imgs)
+
     def __call__(self, imgs):
         b = imgs.shape[0]
         det = np.zeros((b, self.max_dets, 7), np.float32)

@@ -56,24 +56,33 @@ def validate(val_loader, predictor, conf_threshold: Optional[float] = None,
     rows: List[Dict] = []
     ids: List[int] = []
 
-    end = time.time()
-    n_batches = len(val_loader)
-    for bi, (imgs, target) in enumerate(val_loader):
-        det, valid = predictor(imgs)
-        infos = target["img_info"]
-        mask = target["batch_mask"]
-        for i in range(imgs.shape[0]):
+    def consume(pending):
+        det_fut, valid_fut, infos, mask = pending
+        det, valid = np.asarray(det_fut), np.asarray(valid_fut)
+        for i in range(len(mask)):
             if not mask[i]:
                 continue
             ids.append(int(infos[i][-2]))
             rows.extend(detections_to_coco(det[i], valid[i], infos[i],
                                            dataset.class_ids))
+
+    # pipelined: dispatch batch i, then consume batch i-1 while i runs
+    end = time.time()
+    n_batches = len(val_loader)
+    pending = None
+    for bi, (imgs, target) in enumerate(val_loader):
+        det_fut, valid_fut = predictor.dispatch(imgs)
+        if pending is not None:
+            consume(pending)
+        pending = (det_fut, valid_fut, target["img_info"], target["batch_mask"])
         batch_time.update(time.time() - end)
         end = time.time()
         if verbose and (bi + 1) % 50 == 0:
             ips = imgs.shape[0] / max(batch_time.avg, 1e-9)
             logger.info(f"eval [{bi + 1}/{n_batches}] "
                         f"{batch_time.val:.3f}s/batch ({ips:.1f} img/s)")
+    if pending is not None:
+        consume(pending)
 
     if verbose:
         logger.info(f"eval done: {len(ids)} images, {len(rows)} detections, "
