@@ -74,7 +74,8 @@ def list_images(source: str):
 
 def main():
     args = parse_args()
-    logger = setup_logging(0) and get_logger(__name__) or get_logger(__name__)
+    setup_logging(0)
+    logger = get_logger(__name__)
     cfg = load_config(args.cfg)
     conf_thre = cfg["TEST"]["CONFTHRE"] if args.conf_thre < 0 else args.conf_thre
     nms_thre = cfg["TEST"]["NMSTHRE"] if args.nms_thre < 0 else args.nms_thre

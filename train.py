@@ -63,8 +63,7 @@ def main():
     from yolov4_tpu.utils.logging import setup_logging, get_logger
 
     initialize_runtime(args.coordinator)
-    setup_logging(jax.process_index(),
-                  output_dir=None if args.evaluate else None)
+    setup_logging(jax.process_index())
     logger = get_logger(__name__)
 
     cfg = load_config(args.cfg)

@@ -20,8 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import PartitionSpec as P
-from jax import shard_map
 
 from yolov4_tpu.classify.data import IMAGENET_MEAN, IMAGENET_STD
 from yolov4_tpu.models.darknet import CSPDarknet53

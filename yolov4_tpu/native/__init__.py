@@ -27,8 +27,11 @@ def _build() -> Optional[object]:
     if not os.path.exists(so_path):
         os.makedirs(_BUILD_DIR, exist_ok=True)
         include = sysconfig.get_paths()["include"]
+        # note: no -march=native — the build cache is keyed by source only
+        # and the repo may move between machines; these kernels are
+        # memory-bound so portable codegen costs nothing measurable
         cmd = [
-            "gcc", "-shared", "-fPIC", "-O3", "-fopenmp", "-march=native",
+            "gcc", "-shared", "-fPIC", "-O3", "-fopenmp",
             f"-I{include}", _SRC, "-o", so_path + ".tmp",
         ]
         subprocess.run(cmd, check=True, capture_output=True)
