@@ -153,3 +153,35 @@ def test_batch_stats_updated_and_replicated():
     state = step(state, imgs, labels)
     bs1 = np.asarray(jax.tree.leaves(state.batch_stats)[0])
     assert np.abs(bs1 - bs0).sum() > 0
+
+
+def test_skip_nonfinite_guard():
+    """With skip_nonfinite, a NaN-producing micro-batch leaves params
+    untouched; without it, params get poisoned."""
+    rng = np.random.default_rng(0)
+    from yolov4_tpu.optim import build_lr_schedule, build_optimizer
+    from yolov4_tpu.parallel import create_mesh, create_train_state, make_train_step
+    from yolov4_tpu.ops.loss import build_criterion
+
+    cfg = load_config()
+    cfg["MODEL"]["COMPUTE_DTYPE"] = "float32"
+    model = TinyDetector()
+    variables = init_variables(model, jax.random.PRNGKey(0), 64)
+    criterion = build_criterion(cfg)
+    tx = build_optimizer(cfg, variables["params"])
+    schedule = build_lr_schedule(cfg, len_epoch=10)
+    mesh = create_mesh()
+    imgs, labels = _batch(rng)
+    bad_imgs = imgs.copy()
+    bad_imgs[0, 0, 0, 0] = np.nan  # NaN input -> NaN loss/grads
+
+    step_guard = make_train_step(model, criterion, tx, schedule, mesh,
+                                 skip_nonfinite=True)
+    state = create_train_state(variables, tx)
+    p0 = np.asarray(jax.tree.leaves(state.params)[0]).copy()
+    state = step_guard(state, bad_imgs, labels)
+    p1 = np.asarray(jax.tree.leaves(state.params)[0])
+    np.testing.assert_array_equal(p0, p1)  # bad batch dropped
+    state = step_guard(state, imgs, labels)
+    p2 = np.asarray(jax.tree.leaves(state.params)[0])
+    assert np.isfinite(p2).all() and np.abs(p2 - p0).sum() > 0

@@ -92,7 +92,9 @@ class Trainer:
             self.model, self.criterion, self.tx, self.lr_schedule, self.mesh,
             accumulation_steps=cfg["TRAIN"]["ACCUMULATION_STEPS"],
             img_size=cfg["TRAIN"]["IMGSIZE"], device_aug=self.device_aug,
-            aug_seed=seed)
+            aug_seed=seed,
+            skip_nonfinite=bool(cfg["TRAIN"].get("SKIP_NONFINITE_UPDATES",
+                                                 False)))
         self.state = create_train_state(variables, self.tx)
 
         self.start_epoch = cfg["TRAIN"]["START_EPOCH"]

@@ -60,7 +60,8 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
                     accumulation_steps: int = 1,
                     img_size: Optional[int] = None,
                     device_aug: Optional[Dict] = None,
-                    aug_seed: int = 0) -> Callable:
+                    aug_seed: int = 0,
+                    skip_nonfinite: bool = False) -> Callable:
     """Returns jitted step(state, images, labels) -> state.
 
     images: [B_global, S, S, 3] float32 — or, when ``img_size`` is given,
@@ -117,6 +118,15 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
 
         accum = jax.tree.map(jnp.add, state.accum_grads, grads)
         apply_now = (state.step + 1) % accumulation_steps == 0
+        if skip_nonfinite:
+            # robustness guard (not in the reference): drop a micro-batch
+            # whose loss/grads went non-finite instead of poisoning params
+            finite = jnp.isfinite(loss)
+            for g in jax.tree.leaves(grads):
+                finite = finite & jnp.all(jnp.isfinite(g))
+            accum = jax.tree.map(
+                lambda a, prev: jnp.where(finite, a, prev),
+                accum, state.accum_grads)
         lr = lr_schedule(state.step)
 
         def do_update(operand):
