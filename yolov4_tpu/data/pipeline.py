@@ -56,7 +56,7 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_workers: int = 0, seed: int = 0, drop_last: bool = False,
                  pad_last: bool = True, process_index: int = 0,
-                 process_count: int = 1):
+                 process_count: int = 1, start_method: str = "spawn"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -67,6 +67,30 @@ class DataLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.epoch = 0
+        # 'spawn' by default: forking after JAX initializes (multithreaded)
+        # risks deadlocks. Workers touch only numpy/cv2/PIL, so a clean
+        # interpreter is safe; the pool persists across epochs to amortize
+        # the startup.
+        self.start_method = start_method
+        self._pool = None
+
+    def _get_pool(self):
+        if self._pool is None:
+            ctx = mp.get_context(self.start_method)
+            self._pool = ctx.Pool(self.num_workers, initializer=_init_worker,
+                                  initargs=(self.dataset,))
+        return self._pool
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def set_epoch(self, epoch: int) -> None:
         """Reshuffle per epoch (DistributedSampler.set_epoch equivalent)."""
@@ -116,18 +140,16 @@ class DataLoader:
                 yield self._finalize(imgs, target, len(chunk))
             return
 
-        ctx = mp.get_context("fork")
-        with ctx.Pool(self.num_workers, initializer=_init_worker,
-                      initargs=(self.dataset,)) as pool:
-            sizes = []
+        pool = self._get_pool()
+        sizes = []
 
-            def gen():
-                for chunk, seed in self._batches():
-                    sizes.append(len(chunk))
-                    yield chunk, seed
+        def gen():
+            for chunk, seed in self._batches():
+                sizes.append(len(chunk))
+                yield chunk, seed
 
-            for imgs, target in pool.imap(_fetch_batch, gen()):
-                yield self._finalize(imgs, target, sizes.pop(0))
+        for imgs, target in pool.imap(_fetch_batch, gen()):
+            yield self._finalize(imgs, target, sizes.pop(0))
 
 
 def build_data(cfg: Dict, data_root: str, process_index: int = 0,
