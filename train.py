@@ -91,7 +91,8 @@ def main():
 
     trainer = Trainer(cfg, args.data, resume=args.resume,
                       print_freq=args.print_freq, seed=args.seed,
-                      profile_steps=args.profile)
+                      profile_steps=args.profile,
+                      evaluate_only=args.evaluate)
     return trainer.fit(evaluate_only=args.evaluate)
 
 

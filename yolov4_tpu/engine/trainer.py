@@ -36,7 +36,8 @@ logger = get_logger(__name__)
 
 class Trainer:
     def __init__(self, cfg: Dict, data_root: str, resume: Optional[str] = None,
-                 print_freq: int = 10, seed: int = 0, profile_steps: int = 0):
+                 print_freq: int = 10, seed: int = 0, profile_steps: int = 0,
+                 evaluate_only: bool = False):
         from yolov4_tpu.utils.profiling import StepProfiler
 
         self.cfg = cfg
@@ -56,12 +57,27 @@ class Trainer:
                     f"{jax.process_count()} process(es)")
 
         # per-process loaders; global batch = BATCH_SIZE * n_devices
-        per_process_batch = cfg["DATA"]["BATCH_SIZE"] * local_devices
-        self.train_loader, self.val_loader = build_data(
-            cfg, data_root, process_index=self.process_index,
-            process_count=jax.process_count(), seed=seed)
-        self.train_loader.batch_size = per_process_batch
-        self.train_loader.drop_last = True
+        self.evaluate_only = evaluate_only
+        if evaluate_only:
+            from yolov4_tpu.data.coco import COCODataset
+            from yolov4_tpu.data.transforms import Transform
+            self.train_loader = None
+            val_dataset = COCODataset(
+                root=data_root, name="val2017", img_size=cfg["TEST"]["IMGSIZE"],
+                is_train=False,
+                transform=Transform(cfg, is_train=False, keep_uint8=True),
+                num_classes=cfg["MODEL"]["N_CLASSES"])
+            from yolov4_tpu.data.pipeline import DataLoader
+            self.val_loader = DataLoader(
+                val_dataset, batch_size=cfg["TEST"].get("BATCH_SIZE", 8),
+                shuffle=False, num_workers=cfg["DATA"]["WORKERS"])
+        else:
+            per_process_batch = cfg["DATA"]["BATCH_SIZE"] * local_devices
+            self.train_loader, self.val_loader = build_data(
+                cfg, data_root, process_index=self.process_index,
+                process_count=jax.process_count(), seed=seed)
+            self.train_loader.batch_size = per_process_batch
+            self.train_loader.drop_last = True
 
         self.model = build_model(cfg)
         self.criterion = build_criterion(cfg)
@@ -76,7 +92,8 @@ class Trainer:
             logger.warning(f"BACKBONE_PRETRAINED not found, skipping: {pretrained}")
 
         self.tx = build_optimizer(cfg, variables["params"])
-        self.lr_schedule = build_lr_schedule(cfg, len_epoch=len(self.train_loader))
+        len_epoch = len(self.train_loader) if self.train_loader else 1
+        self.lr_schedule = build_lr_schedule(cfg, len_epoch=len_epoch)
         self.device_aug = None
         if cfg["AUGMENTATION"].get("DEVICE", False):
             aug = cfg["AUGMENTATION"]
@@ -88,13 +105,16 @@ class Trainer:
                 "dither": bool(aug["COLOR_DITHERING"]),
             }
             logger.info("device-side augmentation enabled")
-        self.train_step = make_train_step(
-            self.model, self.criterion, self.tx, self.lr_schedule, self.mesh,
-            accumulation_steps=cfg["TRAIN"]["ACCUMULATION_STEPS"],
-            img_size=cfg["TRAIN"]["IMGSIZE"], device_aug=self.device_aug,
-            aug_seed=seed,
-            skip_nonfinite=bool(cfg["TRAIN"].get("SKIP_NONFINITE_UPDATES",
-                                                 False)))
+        self.train_step = None
+        if not evaluate_only:
+            self.train_step = make_train_step(
+                self.model, self.criterion, self.tx, self.lr_schedule,
+                self.mesh,
+                accumulation_steps=cfg["TRAIN"]["ACCUMULATION_STEPS"],
+                img_size=cfg["TRAIN"]["IMGSIZE"], device_aug=self.device_aug,
+                aug_seed=seed,
+                skip_nonfinite=bool(cfg["TRAIN"].get("SKIP_NONFINITE_UPDATES",
+                                                     False)))
         self.state = create_train_state(variables, self.tx)
 
         self.start_epoch = cfg["TRAIN"]["START_EPOCH"]
