@@ -54,15 +54,28 @@ def postprocess(predictions: jnp.ndarray, num_classes: int,
     obj = predictions[..., 4]                                   # [B, N]
     cls_prob = predictions[..., 5:5 + num_classes]              # [B, N, C]
 
-    scores = obj[..., None] * cls_prob                          # [B, N, C]
-    flat = scores.reshape(b, n * num_classes)
+    # Two-stage top-K: a flat top_k over all N*C (box, class) pairs costs
+    # ~6x more than the whole NMS (37 ms vs 5 ms at N=22743, C=80, K=2048);
+    # instead pick the top K boxes by their best pair score (a pair's score
+    # is bounded by its box's best), then top-K pairs among those boxes.
+    # Exact whenever <= K boxes carry any above-threshold pair.
+    k_box = min(pre_nms_topk, n)
+    best_per_box = obj * jnp.max(cls_prob, axis=-1)             # [B, N]
+    _, box_sel = jax.lax.top_k(best_per_box, k_box)             # [B, Kb]
+    sel_obj_boxes = jnp.take_along_axis(obj, box_sel, axis=1)   # [B, Kb]
+    sel_cls_boxes = jnp.take_along_axis(
+        cls_prob, box_sel[..., None], axis=1)                   # [B, Kb, C]
+
+    pair_scores = sel_obj_boxes[..., None] * sel_cls_boxes      # [B, Kb, C]
+    flat = pair_scores.reshape(b, k_box * num_classes)
     flat = jnp.where(flat >= conf_thre, flat, -1.0)
-    k = min(pre_nms_topk, n * num_classes)
+    k = min(pre_nms_topk, k_box * num_classes)
     top_scores, top_idx = jax.lax.top_k(flat, k)                # [B, K] desc
     valid = top_scores >= conf_thre
 
-    box_idx = top_idx // num_classes                            # [B, K]
+    box_local = top_idx // num_classes                          # [B, K] in Kb
     cls_idx = top_idx % num_classes
+    box_idx = jnp.take_along_axis(box_sel, box_local, axis=1)   # [B, K] in N
 
     sel_boxes = jnp.take_along_axis(boxes, box_idx[..., None], axis=1)  # [B, K, 4]
     sel_obj = jnp.take_along_axis(obj, box_idx, axis=1)
