@@ -1,5 +1,6 @@
 """COCO dataset + loader tests over the synthetic fixture."""
 
+import os
 import numpy as np
 import pytest
 
@@ -102,3 +103,24 @@ def test_loader_sharding(fake_root):
             seen.extend(target["img_info"][:, 4][target["batch_mask"]].tolist())
     # every image covered (with wrap padding allowed)
     assert set(int(s) for s in seen) == set(ds.ids)
+
+
+def test_trainer_evaluate_only_needs_no_train_split(fake_root, tmp_path, monkeypatch):
+    """train.py -e must work with a val-only dataset root."""
+    import shutil
+    val_only = str(tmp_path / "val_only")
+    os.makedirs(f"{val_only}/annotations")
+    shutil.copy(f"{fake_root}/annotations/instances_val2017.json",
+                f"{val_only}/annotations/instances_val2017.json")
+    shutil.copytree(f"{fake_root}/images/val2017", f"{val_only}/images/val2017")
+
+    from yolov4_tpu.engine.trainer import Trainer
+    cfg = load_config()
+    cfg["MODEL"].update(COMPUTE_DTYPE="float32", BACKBONE_PRETRAINED=None)
+    cfg["TRAIN"].update(IMGSIZE=64, OUTPUT_DIR=str(tmp_path / "out"))
+    cfg["TEST"].update(IMGSIZE=64, BATCH_SIZE=2, PRE_NMS_TOPK=128, MAX_DETS=10)
+    cfg["DATA"]["WORKERS"] = 0
+    trainer = Trainer(cfg, val_only, evaluate_only=True)
+    assert trainer.train_loader is None and trainer.train_step is None
+    ap, ap50 = trainer.fit(evaluate_only=True)
+    assert ap == 0.0  # random weights
