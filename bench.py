@@ -100,6 +100,7 @@ def main():
 
     windows = max(3, args.iters // 10)
     per_window = max(5, args.iters // windows)
+    window(3)  # throwaway: tunnel/queue warm-up beyond program compile
     rates = [window(per_window) for _ in range(windows)]
     print(f"windows (img/s): {[round(r, 1) for r in rates]}", file=sys.stderr)
     images_per_sec = float(np.median(rates))
