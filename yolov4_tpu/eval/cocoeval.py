@@ -14,6 +14,18 @@ rules as pycocotools.cocoeval.COCOeval:
   * unmatched detections outside the area range are ignored,
   * stable mergesort score ordering for determinism.
 
+Hot-path layout (differs from pycocotools only in speed, validated by the
+differential fuzz suite in tests/test_cocoeval_diff.py against a naive
+line-faithful port of the pycocotools algorithm):
+
+  * the (img, cat) IoU matrix is computed ONCE and reused across all four
+    area ranges (pycocotools computeIoU caching),
+  * the greedy matching loop runs in the native C extension
+    (native/fastops.c coco_match), batched over all images of one
+    (category, area range) per call, with a numpy fallback,
+  * accumulation is fully vectorized over IoU thresholds (suffix-max
+    precision envelope + masked searchsorted fill).
+
 The reference ran pycocotools via a temp JSON round-trip
 (engine/build.py:176-188); here detections are accumulated in memory.
 """
@@ -24,6 +36,8 @@ from collections import defaultdict
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
+
+from yolov4_tpu import native
 
 IOU_THRS = np.linspace(0.5, 0.95, 10)
 REC_THRS = np.linspace(0.0, 1.0, 101)
@@ -56,6 +70,72 @@ def _iou_tlwh(dts: np.ndarray, gts: np.ndarray, iscrowd: np.ndarray) -> np.ndarr
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
+def _match_batch_numpy(ious_flat, g_ig, iscrowd, d_out, nd, ng):
+    """Numpy fallback for native coco_match: same greedy semantics, the
+    per-gt scan vectorized (two-phase: non-ignored candidates, then ignored —
+    equivalent to the sorted scan with break-at-first-ignored)."""
+    t_count = len(IOU_THRS)
+    total_d = int(nd.sum())
+    matched = np.zeros((t_count, total_d), bool)
+    ignored = np.zeros((t_count, total_d), bool)
+    ioff = goff = doff = 0
+    for i in range(len(nd)):
+        n_d, n_g = int(nd[i]), int(ng[i])
+        if n_d == 0:
+            ioff += n_d * n_g
+            goff += n_g
+            continue
+        dout = d_out[doff:doff + n_d].astype(bool)
+        if n_g == 0:
+            ignored[:, doff:doff + n_d] = dout[None, :]
+            doff += n_d
+            continue
+        ious = ious_flat[ioff:ioff + n_d * n_g].reshape(n_d, n_g)
+        gig = g_ig[goff:goff + n_g]
+        crowd = iscrowd[goff:goff + n_g].astype(bool)
+        order = np.argsort(gig, kind="mergesort")
+        gig_s = gig[order].astype(bool)
+        crowd_s = crowd[order]
+        ious_s = ious[:, order]
+        n_non = int(np.count_nonzero(~gig_s))
+        for ti, t in enumerate(IOU_THRS):
+            thr = min(t, 1 - 1e-10)
+            taken = np.zeros(n_g, bool)
+            for di in range(n_d):
+                row = ious_s[di]
+                avail = ~taken | crowd_s
+                m = -1
+                c1 = avail[:n_non] & (row[:n_non] >= thr)
+                if c1.any():
+                    v = row[:n_non]
+                    mx = v[c1].max()
+                    m = int(np.flatnonzero(c1 & (v >= mx))[-1])
+                else:
+                    c2 = avail[n_non:] & (row[n_non:] >= thr)
+                    if c2.any():
+                        v = row[n_non:]
+                        mx = v[c2].max()
+                        m = n_non + int(np.flatnonzero(c2 & (v >= mx))[-1])
+                if m == -1:
+                    ignored[ti, doff + di] = dout[di]
+                    continue
+                matched[ti, doff + di] = True
+                ignored[ti, doff + di] = bool(gig_s[m])
+                taken[m] = True
+        ioff += n_d * n_g
+        goff += n_g
+        doff += n_d
+    return matched, ignored
+
+
+def _match_batch(ious_flat, g_ig, iscrowd, d_out, nd, ng):
+    out = native.coco_match_batch(ious_flat, g_ig, iscrowd, d_out, nd, ng,
+                                  IOU_THRS)
+    if out is not None:
+        return out
+    return _match_batch_numpy(ious_flat, g_ig, iscrowd, d_out, nd, ng)
+
+
 class COCOEvaluator:
     """Accumulate detections, then score against a COCOIndex ground truth.
 
@@ -83,78 +163,40 @@ class COCOEvaluator:
                                row["bbox"], row["score"])
 
     # ------------------------------------------------------------------
-    def _gts_for(self, img_id: int, cat_id: int) -> List[Dict]:
-        out = []
-        for ann in self.coco.load_anns(img_id):
-            if ann["category_id"] != cat_id:
+    def _per_image_arrays(self, cat_id: int, gts_by_img_cat) -> Optional[list]:
+        """Per-image (ious, gig_base, g_area, iscrowd, scores, d_area) for one
+        category: IoU computed once here, in (score-sorted dt, original gt)
+        order, reused for all four area ranges. None if the category is
+        empty everywhere (pycocotools: all evaluateImg results None)."""
+        max_det_cap = max(MAX_DETS)
+        imgs = []
+        any_data = False
+        for img_id in self.img_ids:
+            anns = gts_by_img_cat.get((img_id, cat_id), ())
+            dts = self._dts.get((img_id, cat_id), ())
+            if not anns and not dts:
                 continue
-            out.append({
-                "bbox": np.asarray(ann["bbox"], np.float64),
-                "area": float(ann.get("area",
-                                      ann["bbox"][2] * ann["bbox"][3])),
-                "iscrowd": int(ann.get("iscrowd", 0)),
-                "ignore": int(ann.get("ignore", 0)) or int(ann.get("iscrowd", 0)),
-            })
-        return out
-
-    def _evaluate_img(self, gts: List[Dict], dts: List[Dict], area_rng,
-                      max_det: int):
-        """pycocotools evaluateImg equivalent. Returns per-image match data."""
-        if len(gts) == 0 and len(dts) == 0:
-            return None
-        t_count = len(IOU_THRS)
-
-        g_ignore = np.array(
-            [g["ignore"] or g["area"] < area_rng[0] or g["area"] > area_rng[1]
-             for g in gts], np.float64)
-        g_order = np.argsort(g_ignore, kind="mergesort")
-        gts = [gts[i] for i in g_order]
-        g_ignore = g_ignore[g_order]
-        iscrowd = np.array([g["iscrowd"] for g in gts], np.int32)
-
-        d_scores = np.array([d["score"] for d in dts], np.float64)
-        d_order = np.argsort(-d_scores, kind="mergesort")[:max_det]
-        dts = [dts[i] for i in d_order]
-
-        ious = _iou_tlwh(
-            np.array([d["bbox"] for d in dts]).reshape(len(dts), 4),
-            np.array([g["bbox"] for g in gts]).reshape(len(gts), 4),
-            iscrowd)
-
-        n_d, n_g = len(dts), len(gts)
-        gtm = np.zeros((t_count, n_g), np.int64) - 1
-        dtm = np.zeros((t_count, n_d), np.int64) - 1
-        dt_ig = np.zeros((t_count, n_d), np.float64)
-        for ti, t in enumerate(IOU_THRS):
-            for di in range(n_d):
-                best_iou = min(t, 1 - 1e-10)
-                best_g = -1
-                for gi in range(n_g):
-                    if gtm[ti, gi] >= 0 and not iscrowd[gi]:
-                        continue
-                    if best_g > -1 and g_ignore[best_g] == 0 and g_ignore[gi] == 1:
-                        break  # gts sorted: rest are all ignored
-                    if ious[di, gi] < best_iou:
-                        continue
-                    best_iou = ious[di, gi]
-                    best_g = gi
-                if best_g == -1:
-                    continue
-                dt_ig[ti, di] = g_ignore[best_g]
-                dtm[ti, di] = best_g
-                gtm[ti, best_g] = di
-
-        # ignore unmatched detections outside the area range
-        d_area = np.array([d["bbox"][2] * d["bbox"][3] for d in dts], np.float64)
-        outside = (d_area < area_rng[0]) | (d_area > area_rng[1])
-        dt_ig = np.logical_or(dt_ig, (dtm == -1) & outside[None, :])
-
-        return {
-            "dt_scores": np.array([d["score"] for d in dts], np.float64),
-            "dt_matched": dtm >= 0,
-            "dt_ignore": dt_ig,
-            "n_gt": int(np.count_nonzero(g_ignore == 0)),
-        }
+            any_data = True
+            n_g = len(anns)
+            g_bbox = np.array([a["bbox"] for a in anns],
+                              np.float64).reshape(n_g, 4)
+            g_area = np.array(
+                [float(a["area"]) if "area" in a else
+                 float(a["bbox"][2] * a["bbox"][3]) for a in anns], np.float64)
+            iscrowd = np.array([int(a.get("iscrowd", 0)) for a in anns],
+                               np.uint8)
+            gig_base = np.array(
+                [1 if (a.get("ignore", 0) or a.get("iscrowd", 0)) else 0
+                 for a in anns], np.uint8)
+            scores = np.array([d["score"] for d in dts], np.float64)
+            order = np.argsort(-scores, kind="mergesort")[:max_det_cap]
+            d_bbox = np.array([dts[i]["bbox"] for i in order],
+                              np.float64).reshape(len(order), 4)
+            scores = scores[order]
+            d_area = d_bbox[:, 2] * d_bbox[:, 3]
+            ious = _iou_tlwh(d_bbox, g_bbox, iscrowd)
+            imgs.append((ious, gig_base, g_area, iscrowd, scores, d_area))
+        return imgs if any_data else None
 
     def evaluate(self, verbose: bool = True) -> np.ndarray:
         """Run the full protocol; returns the 12-entry stats vector."""
@@ -163,22 +205,51 @@ class COCOEvaluator:
         precision = -np.ones((t_count, r_count, k_count, a_count, m_count))
         recall = -np.ones((t_count, k_count, a_count, m_count))
 
-        max_det_cap = max(MAX_DETS)
+        cat_set = set(self.cat_ids)
+        gts_by_img_cat: Dict[tuple, List[Dict]] = {}
+        for img_id in self.img_ids:
+            for ann in self.coco.load_anns(img_id):
+                cid = ann["category_id"]
+                if cid in cat_set:
+                    gts_by_img_cat.setdefault((img_id, cid), []).append(ann)
+
         for ki, cat_id in enumerate(self.cat_ids):
-            per_img = []
-            for img_id in self.img_ids:
-                gts = self._gts_for(img_id, cat_id)
-                dts = self._dts.get((img_id, cat_id), [])
-                per_img.append((gts, dts))
-            if all(len(g) == 0 and len(d) == 0 for g, d in per_img):
+            imgs = self._per_image_arrays(cat_id, gts_by_img_cat)
+            if imgs is None:
                 continue
+            nd_arr = np.array([len(p[4]) for p in imgs], np.int64)
+            ng_arr = np.array([len(p[1]) for p in imgs], np.int64)
+            ious_flat = (np.concatenate([p[0].reshape(-1) for p in imgs])
+                         if imgs else np.zeros(0))
+            gig_base = np.concatenate([p[1] for p in imgs])
+            g_area = np.concatenate([p[2] for p in imgs])
+            iscrowd = np.concatenate([p[3] for p in imgs])
+            scores = np.concatenate([p[4] for p in imgs])
+            d_area = np.concatenate([p[5] for p in imgs])
+            ranks = (np.concatenate([np.arange(n) for n in nd_arr])
+                     if len(nd_arr) else np.zeros(0, np.int64))
+
+            # global score order per maxDet cap: same for every area range
+            m_cols = []
+            for max_det in MAX_DETS:
+                cols = np.flatnonzero(ranks < max_det)
+                order = np.argsort(-scores[cols], kind="mergesort")
+                m_cols.append(cols[order])
+
             for ai, a_lbl in enumerate(AREA_ORDER):
-                a_rng = AREA_RNG[a_lbl]
-                evals = [self._evaluate_img(g, d, a_rng, max_det_cap)
-                         for g, d in per_img]
-                for mi, max_det in enumerate(MAX_DETS):
-                    self._accumulate(evals, max_det, precision, recall,
-                                     ki, ai, mi)
+                lo, hi = AREA_RNG[a_lbl]
+                g_ig = (gig_base.astype(bool)
+                        | (g_area < lo) | (g_area > hi)).astype(np.uint8)
+                n_gt = int(np.count_nonzero(g_ig == 0))
+                if n_gt == 0:
+                    continue
+                d_out = ((d_area < lo) | (d_area > hi)).astype(np.uint8)
+                matched, ignored = _match_batch(
+                    ious_flat, g_ig, iscrowd, d_out, nd_arr, ng_arr)
+                for mi in range(m_count):
+                    cols = m_cols[mi]
+                    self._accumulate(matched[:, cols], ignored[:, cols],
+                                     n_gt, precision, recall, ki, ai, mi)
 
         self._precision = precision
         self._recall = recall
@@ -186,45 +257,32 @@ class COCOEvaluator:
         return self.stats
 
     @staticmethod
-    def _accumulate(evals, max_det, precision, recall, ki, ai, mi):
-        scores, matched, ignored, n_gt = [], [], [], 0
-        for e in evals:
-            if e is None:
-                continue
-            scores.append(e["dt_scores"][:max_det])
-            matched.append(e["dt_matched"][:, :max_det])
-            ignored.append(e["dt_ignore"][:, :max_det])
-            n_gt += e["n_gt"]
-        if n_gt == 0:
+    def _accumulate(matched, ignored, n_gt, precision, recall, ki, ai, mi):
+        """pycocotools accumulate for one (cat, area, maxDet) cell: matched/
+        ignored are [T, N] bool with columns in global descending-score order
+        (ties broken by image order — stable mergesort over the concatenated
+        per-image score lists, as pycocotools does)."""
+        t_count = len(IOU_THRS)
+        n = matched.shape[1]
+        if n == 0:
+            recall[:, ki, ai, mi] = 0.0
+            precision[:, :, ki, ai, mi] = 0.0
             return
-        scores = np.concatenate(scores) if scores else np.zeros(0)
-        order = np.argsort(-scores, kind="mergesort")
-        matched = (np.concatenate(matched, axis=1) if matched
-                   else np.zeros((len(IOU_THRS), 0), bool))[:, order]
-        ignored = (np.concatenate(ignored, axis=1) if ignored
-                   else np.zeros((len(IOU_THRS), 0), bool))[:, order]
-
-        tps = matched & ~ignored.astype(bool)
-        fps = ~matched & ~ignored.astype(bool)
-        tp_sum = np.cumsum(tps, axis=1).astype(np.float64)
-        fp_sum = np.cumsum(fps, axis=1).astype(np.float64)
-
-        for ti in range(len(IOU_THRS)):
-            tp, fp = tp_sum[ti], fp_sum[ti]
-            rc = tp / n_gt
-            pr = tp / np.maximum(tp + fp, np.spacing(1))
-            recall[ti, ki, ai, mi] = rc[-1] if len(rc) else 0.0
-
-            # monotone-decreasing interpolation of precision
-            pr = pr.tolist()
-            for i in range(len(pr) - 1, 0, -1):
-                if pr[i] > pr[i - 1]:
-                    pr[i - 1] = pr[i]
-            inds = np.searchsorted(rc, REC_THRS, side="left")
+        tps = matched & ~ignored
+        fps = ~matched & ~ignored
+        tp = np.cumsum(tps, axis=1).astype(np.float64)
+        fp = np.cumsum(fps, axis=1).astype(np.float64)
+        rc = tp / n_gt
+        # pycocotools: tp/(fp+tp+spacing) — keep the exact formula so the
+        # differential fuzz suite can demand 1e-9 agreement
+        pr = tp / (fp + tp + np.spacing(1))
+        recall[:, ki, ai, mi] = rc[:, -1]
+        pr_env = np.maximum.accumulate(pr[:, ::-1], axis=1)[:, ::-1]
+        for ti in range(t_count):
+            inds = np.searchsorted(rc[ti], REC_THRS, side="left")
             q = np.zeros(len(REC_THRS))
-            for ri, pi in enumerate(inds):
-                if pi < len(pr):
-                    q[ri] = pr[pi]
+            ok = inds < n
+            q[ok] = pr_env[ti, inds[ok]]
             precision[ti, :, ki, ai, mi] = q
 
     # ------------------------------------------------------------------

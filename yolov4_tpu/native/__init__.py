@@ -86,6 +86,31 @@ def pack_planar_u8(batch_u8: np.ndarray) -> np.ndarray:
     return out
 
 
+def coco_match_batch(ious_flat: np.ndarray, g_ignore: np.ndarray,
+                     iscrowd: np.ndarray, d_outside: np.ndarray,
+                     nd: np.ndarray, ng: np.ndarray,
+                     iou_thrs: np.ndarray):
+    """Batched COCOeval greedy matching (native only; returns None when the
+    toolchain is unavailable — the caller falls back to numpy)."""
+    ops = get_fastops()
+    if ops is None:
+        return None
+    t_count = int(iou_thrs.shape[0])
+    total_d = int(nd.sum())
+    matched = np.zeros((t_count, total_d), np.uint8)
+    ignored = np.zeros((t_count, total_d), np.uint8)
+    ops.coco_match(
+        np.ascontiguousarray(ious_flat, np.float64),
+        np.ascontiguousarray(g_ignore, np.uint8),
+        np.ascontiguousarray(iscrowd, np.uint8),
+        np.ascontiguousarray(d_outside, np.uint8),
+        np.ascontiguousarray(nd, np.int64),
+        np.ascontiguousarray(ng, np.int64),
+        np.ascontiguousarray(iou_thrs, np.float64),
+        matched.reshape(-1), ignored.reshape(-1))
+    return matched.astype(bool), ignored.astype(bool)
+
+
 def greedy_nms_host(boxes_xyxy: np.ndarray, valid: np.ndarray,
                     iou_thresh: float) -> np.ndarray:
     """Score-sorted greedy NMS on the host. boxes [K, 4] f32, valid [K]."""
