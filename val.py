@@ -37,6 +37,15 @@ def parse_args():
     parser.add_argument("--batch-size", type=int, default=-1,
                         help="eval batch size (default cfg TEST.BATCH_SIZE)")
     parser.add_argument("--workers", type=int, default=-1)
+    parser.add_argument("--pre-nms-topk", type=int, default=-1,
+                        help="candidate cap before NMS (default cfg "
+                             "TEST.PRE_NMS_TOPK; raise for conf thresholds "
+                             "like the published 0.0001)")
+    parser.add_argument("--max-dets", type=int, default=-1,
+                        help="fixed detections per image (default cfg "
+                             "TEST.MAX_DETS; the reference emits unlimited "
+                             "rows and pycocotools caps 100 per category — "
+                             "use 300 to approximate that at dense conf)")
     return parser.parse_args()
 
 
@@ -47,6 +56,10 @@ def main():
     cfg = load_config(args.cfg)
     conf = cfg["TEST"]["CONFTHRE"] if args.conf_thre < 0 else args.conf_thre
     nms = cfg["TEST"]["NMSTHRE"] if args.nms_thre < 0 else args.nms_thre
+    if args.pre_nms_topk > 0:
+        cfg["TEST"]["PRE_NMS_TOPK"] = args.pre_nms_topk
+    if args.max_dets > 0:
+        cfg["TEST"]["MAX_DETS"] = args.max_dets
     batch_size = cfg["TEST"].get("BATCH_SIZE", 8) if args.batch_size < 0 else args.batch_size
     workers = cfg["DATA"]["WORKERS"] if args.workers < 0 else args.workers
 
