@@ -86,16 +86,21 @@ def main():
     np.asarray(det)
 
     # The shared-tunnel environment is noisy: measure several windows and
-    # report the median (per-window rates go to stderr).
-    def window(n_iters):
+    # report the median (per-window rates go to stderr). Several batches
+    # stay in flight so host preprocessing + tunnel uploads/fetches overlap
+    # device execution (the tunnel adds 100s of ms of latency per transfer;
+    # depth-1 pipelining left the chip idle between batches).
+    from collections import deque
+
+    def window(n_iters, depth=4):
         t0 = time.time()
-        pending = None
+        inflight = deque()
         for i in range(n_iters):
-            fut = predictor.dispatch(preprocess_batch(i))
-            if pending is not None:
-                np.asarray(pending[1])
-            pending = fut
-        np.asarray(pending[1])
+            inflight.append(predictor.dispatch(preprocess_batch(i)))
+            if len(inflight) > depth:
+                np.asarray(inflight.popleft()[1])
+        while inflight:
+            np.asarray(inflight.popleft()[1])
         return n_iters * batch / (time.time() - t0)
 
     windows = max(3, args.iters // 10)

@@ -96,3 +96,32 @@ def test_detections_to_coco_unmaps():
         [10 / 320 * 640, 20 / 320 * 480, 100 / 320 * 640, 200 / 320 * 480],
         rtol=1e-6)
     assert row["score"] == pytest.approx(0.72)
+
+
+def test_validate_sharded_over_mesh(fake_root):
+    """Full validate() through a real Predictor sharded over the 8-device
+    CPU mesh: the forward+NMS program partitions on the batch axis via
+    GSPMD and the loop's futures fetch correctly."""
+    import jax
+
+    from yolov4_tpu.engine.predictor import Predictor
+    from yolov4_tpu.parallel.mesh import create_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    cfg = load_config()
+    cfg["MODEL"]["COMPUTE_DTYPE"] = "float32"
+    cfg["TEST"]["IMGSIZE"] = 64
+    cfg["TEST"]["PRE_NMS_TOPK"] = 64
+    cfg["TEST"]["MAX_DETS"] = 10
+    dataset = COCODataset(fake_root, "val2017", img_size=64, is_train=False,
+                          transform=Transform(cfg, is_train=False,
+                                              keep_uint8=True),
+                          num_classes=cfg["MODEL"]["N_CLASSES"])
+    loader = DataLoader(dataset, batch_size=4, shuffle=False, num_workers=0)
+    mesh = create_mesh()
+    predictor = Predictor(cfg, batch_size=4, mesh=mesh)
+    assert predictor.batch_size % (mesh.devices.size // jax.process_count()) == 0
+    ap, ap50 = validate(loader, predictor, verbose=False)
+    # random weights: plumbing must complete and produce finite stats
+    assert np.isfinite(ap) and np.isfinite(ap50)

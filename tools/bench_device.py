@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""Device-resident component benchmarks (no host transfers in the loop).
+
+Measures the hardware-meaningful rates the tunnel hides: inputs live on
+device, N iterations are dispatched asynchronously, and ONE final fetch
+closes the window (per-iteration block_until_ready lies through the async
+tunnel). Medians over several windows; run nothing else heavy alongside.
+
+    python tools/bench_device.py [--img-size 608] [--batch 16] \
+        [--parts fwd,fwd_nms,nms,fwd_plain]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from yolov4_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from yolov4_tpu.config import load_config  # noqa: E402
+from yolov4_tpu.models import build_model  # noqa: E402
+from yolov4_tpu.models.yolov4 import init_variables  # noqa: E402
+from yolov4_tpu.ops.nms import greedy_nms_mask  # noqa: E402
+from yolov4_tpu.ops.postprocess import postprocess  # noqa: E402
+
+
+def timed(fn, args, iters=20, windows=5):
+    out = fn(*args)
+    jax.block_until_ready(out)  # compile
+    rates = []
+    for _ in range(windows):
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        rates.append((time.time() - t0) / iters)
+    return float(np.median(rates)) * 1000.0  # ms/iter
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--img-size", type=int, default=608)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--parts", type=str, default="fwd,fwd_nms,nms")
+    p.add_argument("--conf-thre", type=float, default=0.005)
+    args = p.parse_args()
+    parts = args.parts.split(",")
+    size, b = args.img_size, args.batch
+
+    cfg = load_config()
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.random((b, size, size, 3)), jnp.float32)
+
+    results = {}
+
+    def fwd_fn(model, variables):
+        def f(x):
+            return model.apply(variables, x, train=False)
+        return jax.jit(f)
+
+    if {"fwd", "fwd_nms"} & set(parts):
+        model = build_model(cfg)
+        variables = jax.device_put(
+            init_variables(model, jax.random.PRNGKey(0), size))
+        f = fwd_fn(model, variables)
+        if "fwd" in parts:
+            results["fwd+decode (s2d)"] = timed(f, (imgs,), args.iters)
+
+        if "fwd_nms" in parts:
+            @jax.jit
+            def full(x):
+                preds = model.apply(variables, x, train=False)
+                return postprocess(preds, 80, args.conf_thre, 0.4,
+                                   pre_nms_topk=2048, max_dets=100)
+            results["fwd+decode+NMS (s2d)"] = timed(full, (imgs,), args.iters)
+
+    if "fwd_plain" in parts:
+        import yolov4_tpu.models.yolov4 as y4
+        from yolov4_tpu.models.darknet import Backbone  # noqa: F401
+        cfg_plain = load_config()
+        model = build_model(cfg_plain)
+        # rebuild with s2d disabled via the model's backbone flag
+        model = model.clone(s2d=False) if hasattr(model, "s2d") else model
+        variables = jax.device_put(
+            init_variables(model, jax.random.PRNGKey(0), size))
+        f = fwd_fn(model, variables)
+        results["fwd+decode (plain)"] = timed(f, (imgs,), args.iters)
+
+    if "nms" in parts:
+        k = 2048
+        boxes = jnp.asarray(rng.uniform(0, size, (b, k, 2)), jnp.float32)
+        wh = jnp.asarray(rng.uniform(8, 120, (b, k, 2)), jnp.float32)
+        xyxy = jnp.concatenate([boxes, boxes + wh], -1)
+        valid = jnp.ones((b, k), bool)
+        f = jax.jit(lambda bx, v: greedy_nms_mask(bx, v, 0.4))
+        results[f"NMS K={k}"] = timed(f, (xyxy, valid), args.iters)
+
+    for name, ms in results.items():
+        rate = args.batch / (ms / 1000.0)
+        print(f"{name:28s} {ms:8.2f} ms/batch   {rate:8.1f} img/s")
+
+
+if __name__ == "__main__":
+    main()

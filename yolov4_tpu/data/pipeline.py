@@ -182,8 +182,10 @@ def build_data(cfg: Dict, data_root: str, process_index: int = 0,
         train_dataset, batch_size=cfg["DATA"]["BATCH_SIZE"], shuffle=True,
         num_workers=cfg["DATA"]["WORKERS"], seed=seed, drop_last=True,
         process_index=process_index, process_count=process_count)
+    # val is process-sharded too: every process evaluates its slice and the
+    # evaluator allgathers rows (round 1 idled all non-primary processes)
     val_loader = DataLoader(
         val_dataset, batch_size=cfg["TEST"].get("BATCH_SIZE", 8), shuffle=False,
         num_workers=cfg["DATA"]["WORKERS"], seed=seed,
-        process_index=0, process_count=1)
+        process_index=process_index, process_count=process_count)
     return train_loader, val_loader

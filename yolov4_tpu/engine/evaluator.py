@@ -10,6 +10,7 @@ from __future__ import annotations
 import time
 from typing import Dict, List, Optional, Tuple
 
+import jax
 import numpy as np
 
 from yolov4_tpu.eval.cocoeval import COCOEvaluator
@@ -42,6 +43,36 @@ def detections_to_coco(det: np.ndarray, valid: np.ndarray, img_info: np.ndarray,
     return rows
 
 
+def _gather_rows(rows: List[Dict], ids: List[int]) -> Tuple[List[Dict], List[int]]:
+    """Allgather per-process detection rows + image ids to every process
+    (multi-host validation: each process evaluated its loader shard).
+    Rows are packed to fixed-width float64 records and padded to the max
+    per-process count (allgather needs equal shapes)."""
+    from jax.experimental import multihost_utils
+
+    packed = np.zeros((len(rows), 7), np.float64)
+    for i, r in enumerate(rows):
+        packed[i] = [r["image_id"], r["category_id"], *r["bbox"], r["score"]]
+    id_arr = np.asarray(ids, np.float64)
+
+    counts = multihost_utils.process_allgather(
+        np.array([len(rows), len(ids)], np.int64))
+    max_rows, max_ids = int(counts[:, 0].max()), int(counts[:, 1].max())
+    packed = np.pad(packed, ((0, max_rows - len(rows)), (0, 0)))
+    id_arr = np.pad(id_arr, (0, max_ids - len(ids)))
+    all_rows = multihost_utils.process_allgather(packed)     # [P, max, 7]
+    all_ids = multihost_utils.process_allgather(id_arr)      # [P, max]
+
+    rows_out, ids_out = [], []
+    for p in range(all_rows.shape[0]):
+        for r in all_rows[p, :int(counts[p, 0])]:
+            rows_out.append({"image_id": int(r[0]), "category_id": int(r[1]),
+                             "bbox": [float(v) for v in r[2:6]],
+                             "score": float(r[6])})
+        ids_out.extend(int(v) for v in all_ids[p, :int(counts[p, 1])])
+    return rows_out, ids_out
+
+
 def validate(val_loader, predictor, conf_threshold: Optional[float] = None,
              nms_threshold: Optional[float] = None,
              verbose: bool = True) -> Tuple[float, float]:
@@ -56,9 +87,12 @@ def validate(val_loader, predictor, conf_threshold: Optional[float] = None,
     rows: List[Dict] = []
     ids: List[int] = []
 
+    fetch = getattr(predictor, "fetch_local", np.asarray)
+
     def consume(pending):
         det_fut, valid_fut, infos, mask = pending
-        det, valid = np.asarray(det_fut), np.asarray(valid_fut)
+        det = fetch(det_fut)
+        valid = fetch(valid_fut)
         for i in range(len(mask)):
             if not mask[i]:
                 continue
@@ -66,32 +100,49 @@ def validate(val_loader, predictor, conf_threshold: Optional[float] = None,
             rows.extend(detections_to_coco(det[i], valid[i], infos[i],
                                            dataset.class_ids))
 
-    # pipelined: dispatch batch i, then consume batch i-1 while i runs
+    # pipelined: keep a few batches in flight so host unmapping + transfers
+    # overlap device execution (transfer latency dominates via the tunnel)
+    from collections import deque
     end = time.time()
     n_batches = len(val_loader)
-    pending = None
+    inflight: deque = deque()
     for bi, (imgs, target) in enumerate(val_loader):
         det_fut, valid_fut = predictor.dispatch(imgs)
-        if pending is not None:
-            consume(pending)
-        pending = (det_fut, valid_fut, target["img_info"], target["batch_mask"])
+        inflight.append((det_fut, valid_fut, target["img_info"],
+                         target["batch_mask"]))
+        if len(inflight) > 3:
+            consume(inflight.popleft())
         batch_time.update(time.time() - end)
         end = time.time()
         if verbose and (bi + 1) % 50 == 0:
             ips = imgs.shape[0] / max(batch_time.avg, 1e-9)
             logger.info(f"eval [{bi + 1}/{n_batches}] "
                         f"{batch_time.val:.3f}s/batch ({ips:.1f} img/s)")
-    if pending is not None:
-        consume(pending)
+    while inflight:
+        consume(inflight.popleft())
 
     if verbose:
         logger.info(f"eval done: {len(ids)} images, {len(rows)} detections, "
                     f"avg {batch_time.avg:.3f}s/batch")
 
-    if not rows:
-        return 0.0, 0.0
-    evaluator = COCOEvaluator(dataset.coco, img_ids=ids,
-                              cat_ids=dataset.class_ids)
-    evaluator.add_detections(rows)
-    stats = evaluator.evaluate(verbose=verbose)
-    return float(stats[0]), float(stats[1])
+    multi_process = jax.process_count() > 1
+    if multi_process:
+        rows, ids = _gather_rows(rows, ids)
+        # explicit barrier: the reference's synchronize() was only a CUDA
+        # sync (utils.py:27-29); without one, non-primary processes run
+        # ahead into the next epoch's first collective while rank 0 scores
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("validate_done")
+
+    if not rows or (multi_process and jax.process_index() != 0):
+        stats01 = np.zeros(2)
+    else:
+        evaluator = COCOEvaluator(dataset.coco, img_ids=ids,
+                                  cat_ids=dataset.class_ids)
+        evaluator.add_detections(rows)
+        stats = evaluator.evaluate(verbose=verbose)
+        stats01 = np.array([float(stats[0]), float(stats[1])])
+    if multi_process:
+        from jax.experimental import multihost_utils
+        stats01 = multihost_utils.broadcast_one_to_all(stats01)
+    return float(stats01[0]), float(stats01[1])

@@ -25,12 +25,20 @@ class Predictor:
     """Compile-once batched detector.
 
     Batches are padded to ``batch_size`` so XLA sees one static shape.
+
+    With ``mesh`` given (>1 device), the batch is sharded over the mesh's
+    'data' axis and the params replicated, so per-epoch validation uses
+    every chip instead of idling N-1 of them (GSPMD partitions the whole
+    forward+NMS program from the input sharding). ``batch_size`` stays the
+    PER-PROCESS batch; on multi-host meshes each process feeds its local
+    shard and the compiled program sees the global batch.
     """
 
     def __init__(self, cfg: Dict, variables: Optional[Dict] = None,
                  img_size: Optional[int] = None, batch_size: int = 8,
                  conf_thre: Optional[float] = None,
-                 nms_thre: Optional[float] = None):
+                 nms_thre: Optional[float] = None,
+                 mesh=None):
         self.cfg = cfg
         self.model = build_model(cfg)
         self.img_size = img_size or cfg["TEST"]["IMGSIZE"]
@@ -41,10 +49,29 @@ class Predictor:
         self.pre_nms_topk = cfg["TEST"].get("PRE_NMS_TOPK", 2048)
         self.max_dets = cfg["TEST"].get("MAX_DETS", 100)
 
+        self._in_sharding = None
+        self._replicated = None
+        if mesh is not None and mesh.devices.size > 1:
+            from yolov4_tpu.parallel.mesh import batch_sharding, replicated
+            self._in_sharding = batch_sharding(mesh)
+            self._replicated = replicated(mesh)
+            n_dev = mesh.devices.size
+            n_proc = jax.process_count()
+            if n_dev % n_proc:
+                raise ValueError(f"{n_dev}-device mesh does not split over "
+                                 f"{n_proc} processes")
+            # round the compiled per-process batch up to a whole number of
+            # rows per device; dispatch() zero-pads short host batches and
+            # the caller's batch_mask drops the padding
+            per_proc_dev = n_dev // n_proc
+            self.batch_size = -(-self.batch_size // per_proc_dev) * per_proc_dev
+
         if variables is None:
             variables = init_variables(
                 self.model, jax.random.PRNGKey(0), self.img_size)
-        self.variables = jax.device_put(variables)
+        self.variables = (jax.device_put(variables, self._replicated)
+                          if self._replicated is not None
+                          else jax.device_put(variables))
 
         size = self.img_size
 
@@ -89,8 +116,22 @@ class Predictor:
         else:
             planar = np.ascontiguousarray(images.transpose(0, 3, 1, 2))
         flat = planar.reshape(self.batch_size, -1)
-        return self._run(self.variables, jnp.asarray(flat),
-                         self.conf_thre, self.nms_thre)
+        if self._in_sharding is not None:
+            arr = jax.make_array_from_process_local_data(
+                self._in_sharding, flat)
+        else:
+            arr = jnp.asarray(flat)
+        return self._run(self.variables, arr, self.conf_thre, self.nms_thre)
+
+    @staticmethod
+    def fetch_local(arr) -> np.ndarray:
+        """Fetch this process's rows of a (possibly multi-host-sharded)
+        result array. Fully-addressable arrays fetch whole."""
+        if getattr(arr, "is_fully_addressable", True):
+            return np.asarray(arr)
+        shards = sorted(arr.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards])
 
     def __call__(self, images: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Synchronous predict. images: [B, S, S, 3] float32 in [0, 1] or
@@ -101,4 +142,4 @@ class Predictor:
         """
         n = images.shape[0]
         det, valid = self.dispatch(images)
-        return np.asarray(det)[:n], np.asarray(valid)[:n]
+        return self.fetch_local(det)[:n], self.fetch_local(valid)[:n]

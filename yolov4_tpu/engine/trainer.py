@@ -70,7 +70,9 @@ class Trainer:
             from yolov4_tpu.data.pipeline import DataLoader
             self.val_loader = DataLoader(
                 val_dataset, batch_size=cfg["TEST"].get("BATCH_SIZE", 8),
-                shuffle=False, num_workers=cfg["DATA"]["WORKERS"])
+                shuffle=False, num_workers=cfg["DATA"]["WORKERS"],
+                process_index=self.process_index,
+                process_count=jax.process_count())
         else:
             per_process_batch = cfg["DATA"]["BATCH_SIZE"] * local_devices
             self.train_loader, self.val_loader = build_data(
@@ -123,10 +125,13 @@ class Trainer:
         if resume:
             self._resume(resume)
 
+        # validation shards the batch across the whole mesh (round 1 ran
+        # eval on one device while the others idled)
         self.predictor = Predictor(
             cfg, variables={"params": self.state.params,
                             "batch_stats": self.state.batch_stats},
-            batch_size=cfg["TEST"].get("BATCH_SIZE", 8))
+            batch_size=cfg["TEST"].get("BATCH_SIZE", 8),
+            mesh=self.mesh)
 
     # ------------------------------------------------------------------
     def _resume(self, path: str) -> None:
@@ -242,8 +247,11 @@ class Trainer:
             t0 = time.time()
             self.train_epoch(epoch)
             logger.info(f"epoch {epoch + 1} trained in {time.time() - t0:.1f}s")
+            # every process evaluates its val shard over the full mesh
+            # (validate() allgathers rows, scores on the primary, barriers,
+            # and broadcasts the APs back)
+            ap, ap50 = self.evaluate()
             if self.is_primary:
-                ap, ap50 = self.evaluate()
                 logger.info(f"epoch {epoch + 1}: AP {ap:.5f} AP50 {ap50:.5f} "
                             f"(best AP50 {max(ap50, self.best_ap50):.5f})")
                 self.save(epoch, ap50, ap)

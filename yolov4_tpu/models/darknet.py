@@ -22,14 +22,21 @@ class Backbone(nn.Module):
 
     return_pyramid: bool = True
     dtype: Any = jnp.float32
+    # space-to-depth lowering for the low-channel stem/stage1/stage2 convs
+    # (cin 3/32/64 -> 12/128/256 on the MXU's contracting rows); numerically
+    # equivalent, checkpoint-compatible (see layers.ConvBNAct)
+    s2d: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         d = self.dtype
-        x = ConvBNAct(32, 3, 1, act="mish", dtype=d, name="stem")(x, train)
+        x = ConvBNAct(32, 3, 1, act="mish", dtype=d, name="stem",
+                      s2d="stride1" if self.s2d else "none")(x, train)
 
-        x = CSPDownSample0(64, 3, 2, act="mish", dtype=d, name="stage1")(x, train)
-        x = CSPDownSample(128, 3, 2, num_blocks=2, act="mish", dtype=d, name="stage2")(x, train)
+        x = CSPDownSample0(64, 3, 2, act="mish", dtype=d, name="stage1",
+                           s2d_base=self.s2d)(x, train)
+        x = CSPDownSample(128, 3, 2, num_blocks=2, act="mish", dtype=d,
+                          name="stage2", s2d_base=self.s2d)(x, train)
         x3 = CSPDownSample(256, 3, 2, num_blocks=8, act="mish", dtype=d, name="stage3")(x, train)
         x4 = CSPDownSample(512, 3, 2, num_blocks=8, act="mish", dtype=d, name="stage4")(x3, train)
         x5 = CSPDownSample(1024, 3, 2, num_blocks=4, act="mish", dtype=d, name="stage5")(x4, train)

@@ -45,9 +45,90 @@ ACTIVATIONS: dict[str, Callable[[jnp.ndarray], jnp.ndarray]] = {
 }
 
 
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, H/2, W/2, 4C], channel order (dy, dx, c)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`space_to_depth`."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * 2, w * 2, c)
+
+
+def _s2d_stride1_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """Rearrange a 3x3 stride-1 kernel [3,3,Ci,Co] into the equivalent
+    3x3 kernel [3,3,4Ci,4Co] over space-to-depth inputs/outputs.
+
+    Output pixel (2a+dy, 2b+dx) taps input row 2a+dy+u = 2(a+A)+r with
+    A = floor((dy+u)/2), r = (dy+u) mod 2 — a 3-block window in s2d space.
+    """
+    _, _, cin, cout = w.shape
+    out = jnp.zeros((3, 3, 4 * cin, 4 * cout), w.dtype)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            for u in (-1, 0, 1):
+                for v in (-1, 0, 1):
+                    ay, ry = (dy + u) // 2, (dy + u) % 2
+                    ax, rx = (dx + v) // 2, (dx + v) % 2
+                    ci = (ry * 2 + rx) * cin
+                    co = (dy * 2 + dx) * cout
+                    out = out.at[ay + 1, ax + 1, ci:ci + cin,
+                                 co:co + cout].set(w[u + 1, v + 1])
+    return out
+
+
+def _s2d_stride2_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """Rearrange a 3x3 stride-2 kernel [3,3,Ci,Co] into the equivalent
+    2x2 stride-1 kernel [2,2,4Ci,Co] over a space-to-depth input
+    (use with padding ((1,0),(1,0))).
+
+    Output pixel i taps input rows 2i+u = 2(i+A)+r, u in {-1,0,1} ->
+    blocks {i-1, i}; the (A=-1, r=0) slot (row 2i-2) is never tapped and
+    stays zero.
+    """
+    _, _, cin, cout = w.shape
+    out = jnp.zeros((2, 2, 4 * cin, cout), w.dtype)
+    for u in (-1, 0, 1):
+        for v in (-1, 0, 1):
+            ay, ry = u // 2, u % 2   # floor-div: -1 -> (-1, 1)
+            ax, rx = v // 2, v % 2
+            ci = (ry * 2 + rx) * cin
+            out = out.at[ay + 1, ax + 1, ci:ci + cin, :].set(w[u + 1, v + 1])
+    return out
+
+
+class _ConvKernel(nn.Module):
+    """Bare conv kernel parameter, path-compatible with nn.Conv
+    (name='conv' -> params 'conv/kernel', same shape and init)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param("kernel", conv_kernel_init, self.shape, jnp.float32)
+
+
 class ConvBNAct(nn.Module):
     """Conv2d (same padding) + optional BatchNorm + activation
-    (reference darknet.py:23-58)."""
+    (reference darknet.py:23-58).
+
+    ``s2d`` selects a mathematically equivalent space-to-depth lowering for
+    the early low-channel convs, where cin < 128 leaves most of the MXU's
+    contracting rows idle (a 3-channel stem conv uses ~2% of the systolic
+    array). Parameters are identical in path, shape, and init — the kernel
+    is rearranged on the fly — so checkpoints are unaffected:
+
+      * "stride1": S2D -> 3x3 conv (4Ci -> 4Co) -> D2S. For the stem.
+      * "stride2": S2D -> 2x2 stride-1 conv (4Ci -> Co), pad (1,0). For
+        3x3 stride-2 downsample convs; output needs no D2S.
+
+    Odd spatial sizes fall back to the standard conv with the same params.
+    """
 
     out_ch: int
     kernel_size: int
@@ -56,24 +137,49 @@ class ConvBNAct(nn.Module):
     bn: bool = True
     act: str = "leaky_relu"
     dtype: Any = jnp.float32
+    s2d: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         if self.act not in ACTIVATIONS:
             raise ValueError(f"{self.act} does not support.")
         pad = (self.kernel_size - 1) // 2
-        x = nn.Conv(
-            features=self.out_ch,
-            kernel_size=(self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding=[(pad, pad), (pad, pad)],
-            use_bias=self.bias,
-            kernel_init=conv_kernel_init,
-            bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )(x)
+        if self.s2d == "none":
+            x = nn.Conv(
+                features=self.out_ch,
+                kernel_size=(self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                padding=[(pad, pad), (pad, pad)],
+                use_bias=self.bias,
+                kernel_init=conv_kernel_init,
+                bias_init=nn.initializers.zeros,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="conv",
+            )(x)
+        else:
+            assert self.kernel_size == 3 and not self.bias, \
+                "s2d lowering supports bias-free 3x3 convs"
+            assert (self.s2d, self.stride) in (("stride1", 1), ("stride2", 2))
+            kernel = _ConvKernel(
+                (3, 3, x.shape[-1], self.out_ch), name="conv")()
+            x = x.astype(self.dtype)
+            dn = ("NHWC", "HWIO", "NHWC")
+            if x.shape[1] % 2 or x.shape[2] % 2:  # odd input: standard conv
+                x = jax.lax.conv_general_dilated(
+                    x, kernel.astype(self.dtype), (self.stride, self.stride),
+                    [(pad, pad), (pad, pad)], dimension_numbers=dn)
+            elif self.s2d == "stride1":
+                w = _s2d_stride1_kernel(kernel).astype(self.dtype)
+                x = jax.lax.conv_general_dilated(
+                    space_to_depth(x), w, (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=dn)
+                x = depth_to_space(x)
+            else:
+                w = _s2d_stride2_kernel(kernel).astype(self.dtype)
+                x = jax.lax.conv_general_dilated(
+                    space_to_depth(x), w, (1, 1), [(1, 0), (1, 0)],
+                    dimension_numbers=dn)
         if self.bn:
             x = nn.BatchNorm(
                 use_running_average=not train,
@@ -117,11 +223,13 @@ class CSPDownSample0(nn.Module):
     stride: int = 2
     act: str = "mish"
     dtype: Any = jnp.float32
+    s2d_base: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         c, k, s, a, d = self.out_ch, self.kernel_size, self.stride, self.act, self.dtype
-        x = ConvBNAct(c, k, s, act=a, dtype=d, name="base")(x, train)
+        x = ConvBNAct(c, k, s, act=a, dtype=d, name="base",
+                      s2d="stride2" if self.s2d_base else "none")(x, train)
 
         x1 = ConvBNAct(c, 1, 1, act=a, dtype=d, name="part1")(x, train)
 
@@ -145,11 +253,13 @@ class CSPDownSample(nn.Module):
     shortcut: bool = True
     act: str = "mish"
     dtype: Any = jnp.float32
+    s2d_base: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         c, a, d = self.out_ch, self.act, self.dtype
-        x = ConvBNAct(c, self.kernel_size, self.stride, act=a, dtype=d, name="base")(x, train)
+        x = ConvBNAct(c, self.kernel_size, self.stride, act=a, dtype=d, name="base",
+                      s2d="stride2" if self.s2d_base else "none")(x, train)
 
         x1 = ConvBNAct(c // 2, 1, 1, act=a, dtype=d, name="part1")(x, train)
 

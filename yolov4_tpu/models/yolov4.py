@@ -39,6 +39,7 @@ class YOLOv4(nn.Module):
     anchor_mask: Sequence[Sequence[int]] = ((0, 1, 2), (3, 4, 5), (6, 7, 8))
     legacy_spp_pools: bool = True
     dtype: Any = jnp.float32
+    s2d: bool = True  # space-to-depth lowering of the low-channel stem convs
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -49,7 +50,7 @@ class YOLOv4(nn.Module):
         postprocessing or export)."""
         x = x.astype(self.dtype)
         x3, x4, x5 = Backbone(return_pyramid=True, dtype=self.dtype,
-                              name="backbone")(x, train)
+                              s2d=self.s2d, name="backbone")(x, train)
         p1, p2, p3 = Neck(legacy_pools=self.legacy_spp_pools, dtype=self.dtype,
                           name="neck")(x3, x4, x5, train)
         raws = Head(n_classes=self.n_classes, dtype=self.dtype,
@@ -70,6 +71,7 @@ def build_model(cfg: Dict) -> YOLOv4:
         anchor_mask=tuple(tuple(m) for m in model_cfg["ANCHOR_MASK"]),
         legacy_spp_pools=model_cfg.get("SPP_LEGACY_POOLS", True),
         dtype=dtype,
+        s2d=model_cfg.get("S2D_STEM", True),
     )
 
 

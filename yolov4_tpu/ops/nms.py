@@ -2,9 +2,19 @@
 
 TPU-native replacement for the reference's CPU numpy NMS
 (yolo/util/utils.py:32-89): candidates are padded/sorted to a fixed K, the
-KxK IoU matrix is computed once on the VPU, and the inherently sequential
-greedy pass runs as a `lax.fori_loop` over rows of the precomputed matrix —
-no host round-trips, fully batched, jit/vmap friendly.
+KxK IoU matrix is computed once on the VPU, and greedy suppression is
+solved as a FIXPOINT of its defining recurrence rather than K sequential
+steps:
+
+    keep[i] = valid[i]  and  no j < i with keep[j] and IoU[j, i] >= t
+
+The greedy result is the unique solution, and Jacobi iteration from
+keep = valid converges to it in (suppression-chain depth + 1) rounds —
+single digits on real detections, vs K = 2048 `fori_loop` steps whose
+per-step loop overhead (~4-5 us) dominated round 1's ~9 ms NMS time.
+Each round is one masked any-reduction over the precomputed pair mask
+(memory-bound: ~K*K bytes of HBM traffic), and a `while_loop` exits as
+soon as nothing changes, so worst-case inputs still terminate exactly.
 
 Semantics match the reference exactly for the boxes that fit in the top-K
 budget: a candidate is suppressed iff a HIGHER-scored KEPT candidate
@@ -34,14 +44,21 @@ def greedy_nms_mask(boxes_xyxy: jnp.ndarray, valid: jnp.ndarray,
     """
     k = boxes_xyxy.shape[-2]
     iou = iou_pairwise_safe(boxes_xyxy, boxes_xyxy, fmt="xyxy")  # [B, K, K]
-    suppress_pair = iou >= iou_thresh
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, k, k), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, k, k), 2)
+    # pair[b, j, i]: j would suppress i if j is kept (strictly upper-tri);
+    # fused with the IoU computation by XLA, so only the bool mask hits HBM
+    pair = (iou >= iou_thresh) & (row < col) & valid[:, :, None]
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    def cond(state):
+        _, changed = state
+        return changed
 
-    def body(i, keep):
-        row_active = keep[:, i] & valid[:, i]                      # [B]
-        suppressed = suppress_pair[:, i, :] & (col > i) & row_active[:, None]
-        return keep & ~suppressed
+    def body(state):
+        keep, _ = state
+        hit = jnp.any(pair & keep[:, :, None], axis=1)  # [B, K]
+        new_keep = valid & ~hit
+        return new_keep, jnp.any(new_keep != keep)
 
-    keep = jax.lax.fori_loop(0, k, body, jnp.ones_like(valid))
-    return keep & valid
+    keep, _ = jax.lax.while_loop(cond, body, (valid, jnp.array(True)))
+    return keep
