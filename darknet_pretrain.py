@@ -38,6 +38,9 @@ def parse_args():
     parser.add_argument("--print-freq", type=int, default=10)
     parser.add_argument("--opt-level", type=str, default="O1",
                         choices=["O0", "O1", "O2", "O3"])
+    parser.add_argument("--sync_bn", action="store_true",
+                        help="cross-replica BatchNorm statistics "
+                             "(reference darknet/main_amp.py:147-150)")
     parser.add_argument("--output-dir", type=str,
                         default="./outputs/cspdarknet53")
     parser.add_argument("--seed", type=int, default=0)
@@ -60,7 +63,7 @@ def main():
         workers=args.workers, crop_size=args.crop_size, val_size=args.val_size,
         num_classes=args.num_classes, output_dir=args.output_dir,
         print_freq=args.print_freq, resume=args.resume, compute_dtype=dtype,
-        seed=args.seed)
+        seed=args.seed, sync_bn=args.sync_bn)
     return trainer.fit(evaluate_only=args.evaluate)
 
 

@@ -114,3 +114,74 @@ def test_augment_batch_deterministic(rng):
     c = D.augment_batch(jax.random.PRNGKey(8), canvases, boxes, size=size,
                         max_labels=k)
     assert np.abs(np.asarray(a[0]) - np.asarray(c[0])).max() > 0
+
+
+def test_crop_matches_cv2_linear_interior(rng):
+    """Bilinear fidelity: device crop+resize == cv2 crop-then-INTER_LINEAR
+    (interior pixels; the outermost ring differs by edge-clamp policy)."""
+    import cv2
+
+    size = 64
+    img = rng.uniform(0, 255, (size, size, 3)).astype(np.float32)
+    left, right, top, bottom = 5, 9, 3, 7
+    crop = jnp.asarray([left, right, top, bottom], jnp.int32)
+    out, _ = D._crop_one(jnp.asarray(img), jnp.zeros((1, 5)), crop, size)
+
+    window = img[top:size - bottom, left:size - right]
+    want = cv2.resize(window, (size, size), interpolation=cv2.INTER_LINEAR)
+    np.testing.assert_allclose(np.asarray(out)[2:-2, 2:-2],
+                               want[2:-2, 2:-2], atol=0.75)
+
+
+def test_device_aug_distribution_vs_host(rng):
+    """Distribution-level agreement with the host (reference-exact)
+    pipeline over many samples: box survival rate and output intensity
+    stay in the same ballpark (the two paths share parameter
+    distributions but not RNG streams)."""
+    from yolov4_tpu.config import load_config
+    from yolov4_tpu.data.transforms import Transform
+
+    size, k, n = 64, 60, 48
+    cfg = load_config()
+    cfg["DATA"]["MAX_NUM_LABELS"] = k
+    host_t = Transform(cfg, is_train=True)
+    host_t.seed(0)
+
+    host_means, host_boxes = [], []
+    dev_canvases, dev_boxes = [], []
+    for i in range(n):
+        imgs, tlwhs = [], []
+        member_canvas = np.zeros((4, size, size, 3), np.uint8)
+        member_boxes = np.zeros((4, k, 5), np.float32)
+        for m in range(4):
+            img = rng.integers(0, 255, (80, 96, 3)).astype(np.uint8)
+            boxes = np.array([[10.0, 12.0, 40.0, 30.0, 3.0],
+                              [50.0, 40.0, 30.0, 25.0, 7.0]])
+            imgs.append(img)
+            tlwhs.append(boxes)
+            member_canvas[m] = np.asarray(
+                jnp.asarray(img[:, :, ::-1], jnp.uint8))[
+                    np.zeros(size, int)[:, None] * 0 + np.linspace(
+                        0, 79, size).astype(int)[:, None],
+                    np.linspace(0, 95, size).astype(int)[None, :]]
+            sx, sy = size / 96.0, size / 80.0
+            member_boxes[m, :2] = [
+                [b[0] * sx, b[1] * sy, (b[0] + b[2]) * sx,
+                 (b[1] + b[3]) * sy, b[4]] for b in boxes]
+        h_img, h_target = host_t(imgs, tlwhs, size)
+        host_means.append(float(np.mean(h_img)))
+        host_boxes.append(int((h_target["padded_labels"].sum(1) > 0).sum()))
+        dev_canvases.append(member_canvas)
+        dev_boxes.append(member_boxes)
+
+    d_imgs, d_labels = D.augment_batch(
+        jax.random.PRNGKey(0), jnp.asarray(np.stack(dev_canvases)),
+        jnp.asarray(np.stack(dev_boxes)), size=size, max_labels=k)
+    d_means = np.asarray(d_imgs).mean(axis=(1, 2, 3))
+    d_counts = (np.asarray(d_labels).sum(axis=2) > 0).sum(axis=1)
+
+    # same parameter distributions -> comparable aggregate statistics
+    assert abs(np.mean(host_means) - np.mean(d_means)) < 0.1, \
+        (np.mean(host_means), np.mean(d_means))
+    assert abs(np.mean(host_boxes) - np.mean(d_counts)) < 2.5, \
+        (np.mean(host_boxes), np.mean(d_counts))

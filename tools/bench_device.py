@@ -97,6 +97,75 @@ def main():
         f = fwd_fn(model, variables)
         results["fwd+decode (plain)"] = timed(f, (imgs,), args.iters)
 
+    if "aug" in parts:
+        # VERDICT gate: device-aug train step <= 1.3x the no-aug step @320/b8
+        from yolov4_tpu.ops.loss import build_criterion
+        from yolov4_tpu.optim import build_lr_schedule, build_optimizer
+        from yolov4_tpu.parallel import (create_mesh, create_train_state,
+                                         make_train_step)
+
+        s, tb = 320, 8
+        cfg_t = load_config()
+        model = build_model(cfg_t)
+        variables = init_variables(model, jax.random.PRNGKey(0), s)
+        criterion = build_criterion(cfg_t)
+        tx = build_optimizer(cfg_t, variables["params"])
+        sched = build_lr_schedule(cfg_t, len_epoch=100)
+        mesh = create_mesh(jax.devices()[:1])
+
+        labels = np.zeros((tb, 60, 5), np.float32)
+        labels[:, 0] = [100, 100, 40, 40, 3]
+
+        def window(step, state, inputs, iters=10):
+            t0 = time.time()
+            for _ in range(iters):
+                state = step(state, *inputs)
+            jax.block_until_ready(state.loss)
+            return (time.time() - t0) / iters * 1000.0, state
+
+        # the step donates its state: give each variant its own buffer copy
+        vars_a = jax.tree.map(jnp.copy, variables)
+        vars_b = jax.tree.map(jnp.copy, variables)
+
+        plain_step = make_train_step(model, criterion, tx, sched, mesh,
+                                     img_size=s)
+        flat = jnp.asarray(rng.random((tb, s * s * 3)), jnp.float32)
+
+        aug = cfg_t["AUGMENTATION"]
+        dev_aug = {"jitter": aug["JITTER"], "hue": aug["HUE"],
+                   "saturation": aug["SATURATION"],
+                   "exposure": aug["EXPOSURE"],
+                   "min_offset": aug["MIN_OFFSET"], "flip": True,
+                   "dither": True}
+        aug_step = make_train_step(model, criterion, tx, sched, mesh,
+                                   img_size=s, device_aug=dev_aug)
+        canv = jnp.asarray(
+            rng.integers(0, 255, (tb, 4 * 3 * s * s)), jnp.uint8)
+        member_boxes = np.zeros((tb, 4, 60, 5), np.float32)
+        member_boxes[:, :, 0] = [60, 60, 180, 170, 3]
+
+        # the tunnel's throughput drifts 2-4x between minutes: interleave
+        # the two variants' windows and report the median PAIRED ratio
+        st_p = create_train_state(vars_a, tx)
+        st_a = create_train_state(vars_b, tx)
+        in_p = (flat, jnp.asarray(labels))
+        in_a = (canv, jnp.asarray(member_boxes))
+        _, st_p = window(plain_step, st_p, in_p, iters=2)  # compile+warm
+        _, st_a = window(aug_step, st_a, in_a, iters=2)
+        ratios, p_ms, a_ms = [], [], []
+        for _ in range(6):
+            mp, st_p = window(plain_step, st_p, in_p)
+            ma, st_a = window(aug_step, st_a, in_a)
+            ratios.append(ma / mp)
+            p_ms.append(mp)
+            a_ms.append(ma)
+        results[f"train step {s}/b{tb} (no aug)"] = float(np.median(p_ms))
+        results[f"train step {s}/b{tb} (device aug)"] = float(np.median(a_ms))
+        print(f"paired windows no-aug ms: {[round(x, 1) for x in p_ms]}")
+        print(f"paired windows aug ms:    {[round(x, 1) for x in a_ms]}")
+        print(f"aug/no-aug ratio: median {np.median(ratios):.2f}x "
+              f"(windows {[round(r, 2) for r in ratios]})")
+
     if "nms" in parts:
         k = 2048
         boxes = jnp.asarray(rng.uniform(0, size, (b, k, 2)), jnp.float32)

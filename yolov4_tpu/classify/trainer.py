@@ -111,7 +111,8 @@ class ClassifierTrainer:
                  val_size: int = 288, num_classes: int = 1000,
                  output_dir: str = "./outputs/cspdarknet53",
                  print_freq: int = 10, resume: Optional[str] = None,
-                 compute_dtype=jnp.bfloat16, seed: int = 0):
+                 compute_dtype=jnp.bfloat16, seed: int = 0,
+                 sync_bn: bool = False):
         from yolov4_tpu.classify.data import ImageFolderDataset
         from yolov4_tpu.data.pipeline import DataLoader
 
@@ -138,7 +139,15 @@ class ClassifierTrainer:
         self.val_loader = DataLoader(self.val_ds, local_batch, shuffle=False,
                                      num_workers=workers)
 
-        self.model = CSPDarknet53(num_classes=num_classes, dtype=compute_dtype)
+        # SyncBN (reference darknet/main_amp.py:147-150): batch statistics
+        # pmean'd across the mesh inside the shard_map step. The axis only
+        # exists on multi-device meshes; like the reference flag on one GPU,
+        # it is a no-op single-device.
+        use_sync = sync_bn and self.mesh.devices.size > 1
+        if sync_bn and not use_sync:
+            logger.warning("--sync_bn requested on a 1-device mesh: no-op")
+        self.model = CSPDarknet53(num_classes=num_classes, dtype=compute_dtype,
+                                  bn_axis=DATA_AXIS if use_sync else None)
         init = jax.jit(lambda r, d: self.model.init({"params": r}, d, train=False))
         variables = init(jax.random.PRNGKey(seed),
                          jnp.zeros((1, crop_size, crop_size, 3), jnp.float32))

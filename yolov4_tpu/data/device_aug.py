@@ -105,25 +105,26 @@ def _crop_one(img: jnp.ndarray, boxes: jnp.ndarray, crop: jnp.ndarray,
 
     crop = [left, right, top, bottom] offsets (canvas pixels). The reference
     crops a (S - l - r) x (S - t - b) window starting at (l, t) (negative
-    offsets zoom out with mean padding) and stretch-resizes to S x S. On
-    device: output pixel (y, x) samples input at
-        u = l + x * crop_w / S,  v = t + y * crop_h / S
-    with nearest gather and mean fill outside the canvas.
+    offsets zoom out with mean padding) and stretch-resizes to S x S with
+    cv2 INTER_LINEAR. On device the crop+resize is ONE bilinear
+    ``scale_and_translate`` (separable resampling the TPU runs as two small
+    matmuls — round 1's per-pixel nearest gathers were 8x the no-aug step):
+    output pixel x samples input u = l + (x+0.5)*crop_w/S, i.e.
+    scale = S/crop_w, translation = -l*S/crop_w. Mean fill outside the
+    canvas comes for free from linearity: resample(img - mean) + mean
+    (scale_and_translate zero-fills out-of-bounds taps).
     Boxes map linearly: x' = (x - l) * S / crop_w (then clipped).
     """
     left, right, top, bottom = crop[0], crop[1], crop[2], crop[3]
     crop_w = (size - left - right).astype(jnp.float32)
     crop_h = (size - top - bottom).astype(jnp.float32)
 
-    xs = (jnp.arange(size, dtype=jnp.float32) + 0.5) * crop_w / size + left
-    ys = (jnp.arange(size, dtype=jnp.float32) + 0.5) * crop_h / size + top
-    xi = jnp.clip(xs.astype(jnp.int32), 0, size - 1)
-    yi = jnp.clip(ys.astype(jnp.int32), 0, size - 1)
-    inside = ((xs >= 0) & (xs < size))[None, :] & ((ys >= 0) & (ys < size))[:, None]
-
-    gathered = img[yi[:, None], xi[None, :], :]                    # [S, S, 3]
     mean = jnp.mean(img, axis=(0, 1))
-    out = jnp.where(inside[..., None], gathered, mean)
+    scale = jnp.stack([size / crop_h, size / crop_w])
+    translation = jnp.stack([-top * size / crop_h, -left * size / crop_w])
+    out = jax.image.scale_and_translate(
+        img - mean, (size, size, 3), (0, 1), scale, translation,
+        method="linear", antialias=False) + mean
 
     # boxes: [K, 5] xyxy+cls in canvas pixels, zero rows = padding
     valid = jnp.sum(boxes, axis=1) > 0
@@ -163,13 +164,14 @@ def _mosaic(imgs, boxes, cut_x, cut_y, size, max_labels):
     """imgs: [4, S, S, 3]; boxes: [4, K, 5] xyxy+cls. Quadrants keep their
     own image's pixels at identical coordinates (the reference's zero-shift
     case of blend_mosaic; crop shifts are already folded into _crop_one)."""
-    ys = jnp.arange(size)[:, None]
-    xs = jnp.arange(size)[None, :]
-    quad = jnp.where(
-        (ys < cut_y) & (xs < cut_x), 0,
-        jnp.where((ys < cut_y), 1, jnp.where(xs < cut_x, 2, 3)))   # [S, S]
-    out = jnp.take_along_axis(
-        imgs, quad[None, :, :, None].astype(jnp.int32), axis=0)[0]
+    ys = jnp.arange(size)[:, None, None]   # [S, 1, 1]
+    xs = jnp.arange(size)[None, :, None]   # [1, S, 1]
+    top = ys < cut_y
+    lft = xs < cut_x
+    # pure elementwise selects (a cross-member gather lowers poorly on TPU)
+    out = jnp.where(top & lft, imgs[0],
+                    jnp.where(top, imgs[1],
+                              jnp.where(lft, imgs[2], imgs[3])))
 
     # clip each member's boxes to its quadrant, drop degenerates
     bounds = jnp.stack([

@@ -26,20 +26,27 @@ class Backbone(nn.Module):
     # (cin 3/32/64 -> 12/128/256 on the MXU's contracting rows); numerically
     # equivalent, checkpoint-compatible (see layers.ConvBNAct)
     s2d: bool = True
+    # SyncBN: shard_map axis to pmean batch statistics over (or None for
+    # per-replica stats). The reference applies SyncBN only in its darknet
+    # pretrainer (darknet/main_amp.py:147-150).
+    bn_axis: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
-        d = self.dtype
-        x = ConvBNAct(32, 3, 1, act="mish", dtype=d, name="stem",
+        d, bx = self.dtype, self.bn_axis
+        x = ConvBNAct(32, 3, 1, act="mish", dtype=d, name="stem", bn_axis=bx,
                       s2d="stride1" if self.s2d else "none")(x, train)
 
         x = CSPDownSample0(64, 3, 2, act="mish", dtype=d, name="stage1",
-                           s2d_base=self.s2d)(x, train)
+                           bn_axis=bx, s2d_base=self.s2d)(x, train)
         x = CSPDownSample(128, 3, 2, num_blocks=2, act="mish", dtype=d,
-                          name="stage2", s2d_base=self.s2d)(x, train)
-        x3 = CSPDownSample(256, 3, 2, num_blocks=8, act="mish", dtype=d, name="stage3")(x, train)
-        x4 = CSPDownSample(512, 3, 2, num_blocks=8, act="mish", dtype=d, name="stage4")(x3, train)
-        x5 = CSPDownSample(1024, 3, 2, num_blocks=4, act="mish", dtype=d, name="stage5")(x4, train)
+                          name="stage2", bn_axis=bx, s2d_base=self.s2d)(x, train)
+        x3 = CSPDownSample(256, 3, 2, num_blocks=8, act="mish", dtype=d,
+                           bn_axis=bx, name="stage3")(x, train)
+        x4 = CSPDownSample(512, 3, 2, num_blocks=8, act="mish", dtype=d,
+                           bn_axis=bx, name="stage4")(x3, train)
+        x5 = CSPDownSample(1024, 3, 2, num_blocks=4, act="mish", dtype=d,
+                           bn_axis=bx, name="stage5")(x4, train)
 
         if self.return_pyramid:
             return x3, x4, x5
@@ -52,10 +59,12 @@ class CSPDarknet53(nn.Module):
 
     num_classes: int = 1000
     dtype: Any = jnp.float32
+    bn_axis: Any = None  # SyncBN axis (see Backbone)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = Backbone(return_pyramid=False, dtype=self.dtype, name="backbone")(x, train)
+        x = Backbone(return_pyramid=False, dtype=self.dtype,
+                     bn_axis=self.bn_axis, name="backbone")(x, train)
         x = jnp.mean(x, axis=(1, 2))  # NHWC global average pool
         x = nn.Dense(
             self.num_classes,

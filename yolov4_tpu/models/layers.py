@@ -138,6 +138,11 @@ class ConvBNAct(nn.Module):
     act: str = "leaky_relu"
     dtype: Any = jnp.float32
     s2d: str = "none"
+    # cross-replica BatchNorm stats (SyncBN): the shard_map axis name to
+    # pmean batch mean/var over, or None for per-replica stats (the
+    # reference's YOLO trainer behavior; its darknet pretrainer applies
+    # apex SyncBN, darknet/main_amp.py:147-150)
+    bn_axis: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -189,6 +194,7 @@ class ConvBNAct(nn.Module):
                 bias_init=nn.initializers.zeros,
                 dtype=self.dtype,
                 param_dtype=jnp.float32,
+                axis_name=self.bn_axis,
                 name="norm",
             )(x)
         return ACTIVATIONS[self.act](x)
@@ -203,13 +209,16 @@ class ResBlock(nn.Module):
     shortcut: bool = True
     act: str = "mish"
     dtype: Any = jnp.float32
+    bn_axis: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         for i in range(self.num_blocks):
             h = ConvBNAct(self.ch, 1, 1, act=self.act, dtype=self.dtype,
+                          bn_axis=self.bn_axis,
                           name=f"module_list_{i}_0")(x, train)
             h = ConvBNAct(self.ch, 3, 1, act=self.act, dtype=self.dtype,
+                          bn_axis=self.bn_axis,
                           name=f"module_list_{i}_1")(h, train)
             x = x + h if self.shortcut else h
         return x
@@ -224,23 +233,25 @@ class CSPDownSample0(nn.Module):
     act: str = "mish"
     dtype: Any = jnp.float32
     s2d_base: bool = False
+    bn_axis: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         c, k, s, a, d = self.out_ch, self.kernel_size, self.stride, self.act, self.dtype
-        x = ConvBNAct(c, k, s, act=a, dtype=d, name="base",
+        bx = self.bn_axis
+        x = ConvBNAct(c, k, s, act=a, dtype=d, name="base", bn_axis=bx,
                       s2d="stride2" if self.s2d_base else "none")(x, train)
 
-        x1 = ConvBNAct(c, 1, 1, act=a, dtype=d, name="part1")(x, train)
+        x1 = ConvBNAct(c, 1, 1, act=a, dtype=d, bn_axis=bx, name="part1")(x, train)
 
-        x2_1_1 = ConvBNAct(c, 1, 1, act=a, dtype=d, name="part2_1_1")(x, train)
-        x2_1_2 = ConvBNAct(c // 2, 1, 1, act=a, dtype=d, name="part2_1_2_0")(x2_1_1, train)
-        x2_1_2 = ConvBNAct(c, 3, 1, act=a, dtype=d, name="part2_1_2_1")(x2_1_2, train)
+        x2_1_1 = ConvBNAct(c, 1, 1, act=a, dtype=d, bn_axis=bx, name="part2_1_1")(x, train)
+        x2_1_2 = ConvBNAct(c // 2, 1, 1, act=a, dtype=d, bn_axis=bx, name="part2_1_2_0")(x2_1_1, train)
+        x2_1_2 = ConvBNAct(c, 3, 1, act=a, dtype=d, bn_axis=bx, name="part2_1_2_1")(x2_1_2, train)
         x2 = x2_1_1 + x2_1_2
-        x2 = ConvBNAct(c, 1, 1, act=a, dtype=d, name="part2_2")(x2, train)
+        x2 = ConvBNAct(c, 1, 1, act=a, dtype=d, bn_axis=bx, name="part2_2")(x2, train)
 
         x = jnp.concatenate([x2, x1], axis=-1)
-        return ConvBNAct(c, 1, 1, act=a, dtype=d, name="transition")(x, train)
+        return ConvBNAct(c, 1, 1, act=a, dtype=d, bn_axis=bx, name="transition")(x, train)
 
 
 class CSPDownSample(nn.Module):
@@ -254,19 +265,21 @@ class CSPDownSample(nn.Module):
     act: str = "mish"
     dtype: Any = jnp.float32
     s2d_base: bool = False
+    bn_axis: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         c, a, d = self.out_ch, self.act, self.dtype
+        bx = self.bn_axis
         x = ConvBNAct(c, self.kernel_size, self.stride, act=a, dtype=d, name="base",
-                      s2d="stride2" if self.s2d_base else "none")(x, train)
+                      bn_axis=bx, s2d="stride2" if self.s2d_base else "none")(x, train)
 
-        x1 = ConvBNAct(c // 2, 1, 1, act=a, dtype=d, name="part1")(x, train)
+        x1 = ConvBNAct(c // 2, 1, 1, act=a, dtype=d, bn_axis=bx, name="part1")(x, train)
 
-        x2 = ConvBNAct(c // 2, 1, 1, act=a, dtype=d, name="part2_0")(x, train)
+        x2 = ConvBNAct(c // 2, 1, 1, act=a, dtype=d, bn_axis=bx, name="part2_0")(x, train)
         x2 = ResBlock(c // 2, num_blocks=self.num_blocks, shortcut=self.shortcut,
-                      act=a, dtype=d, name="part2_1")(x2, train)
-        x2 = ConvBNAct(c // 2, 1, 1, act=a, dtype=d, name="part2_2")(x2, train)
+                      act=a, dtype=d, bn_axis=bx, name="part2_1")(x2, train)
+        x2 = ConvBNAct(c // 2, 1, 1, act=a, dtype=d, bn_axis=bx, name="part2_2")(x2, train)
 
         x = jnp.concatenate([x2, x1], axis=-1)
-        return ConvBNAct(c, 1, 1, act=a, dtype=d, name="transition")(x, train)
+        return ConvBNAct(c, 1, 1, act=a, dtype=d, bn_axis=bx, name="transition")(x, train)
