@@ -24,16 +24,29 @@ def _init_worker(dataset):
     _WORKER_DATASET = dataset
 
 
-def _fetch_batch(args):
-    indices, seed = args
-    return _collate(_WORKER_DATASET, indices, seed)
+def _sample_seed(batch_seed: Optional[int], j: int) -> Optional[int]:
+    """Per-sample seed from (batch seed, position): identical streams for
+    any worker count, and samples of one batch can build in parallel."""
+    if batch_seed is None:
+        return None
+    return hash((batch_seed, j)) & 0x7FFFFFFF
+
+
+def _fetch_sample(args):
+    idx, seed = args
+    ds = _WORKER_DATASET
+    if seed is not None and hasattr(ds, "seed"):
+        ds.seed(seed)
+    img, target = ds[int(idx)]
+    return np.asarray(img), target
 
 
 def _collate(dataset, indices, seed: Optional[int]):
-    if seed is not None and hasattr(dataset, "seed"):
-        dataset.seed(seed)
     imgs, targets = [], []
-    for idx in indices:
+    for j, idx in enumerate(indices):
+        s = _sample_seed(seed, j)
+        if s is not None and hasattr(dataset, "seed"):
+            dataset.seed(s)
         img, target = dataset[int(idx)]
         imgs.append(np.asarray(img))
         targets.append(target)
@@ -56,7 +69,8 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_workers: int = 0, seed: int = 0, drop_last: bool = False,
                  pad_last: bool = True, process_index: int = 0,
-                 process_count: int = 1, start_method: str = "spawn"):
+                 process_count: int = 1, start_method: str = "spawn",
+                 prefetch_batches: int = 3):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -66,6 +80,7 @@ class DataLoader:
         self.pad_last = pad_last
         self.process_index = process_index
         self.process_count = process_count
+        self.prefetch_batches = max(1, prefetch_batches)
         self.epoch = 0
         # 'spawn' by default: forking after JAX initializes (multithreaded)
         # risks deadlocks. Workers touch only numpy/cv2/PIL, so a clean
@@ -140,16 +155,41 @@ class DataLoader:
                 yield self._finalize(imgs, target, len(chunk))
             return
 
+        # per-SAMPLE tasks (one batch builds on many workers at once, not
+        # one worker per batch) with a bounded run-ahead window of
+        # prefetch_batches batches — round 1's batch-granularity imap left
+        # a batch's latency serial on a single worker and buffered results
+        # without bound when the consumer stalled
+        from collections import deque
+
         pool = self._get_pool()
-        sizes = []
+        batches = list(self._batches())
+        flat = [(int(idx), _sample_seed(seed, j))
+                for chunk, seed in batches
+                for j, idx in enumerate(chunk)]
+        cap = max(self.prefetch_batches * self.batch_size,
+                  2 * self.num_workers)
+        pending: deque = deque()
+        ti = 0
 
-        def gen():
-            for chunk, seed in self._batches():
-                sizes.append(len(chunk))
-                yield chunk, seed
+        def pump():
+            nonlocal ti
+            while ti < len(flat) and len(pending) < cap:
+                pending.append(pool.apply_async(_fetch_sample, (flat[ti],)))
+                ti += 1
 
-        for imgs, target in pool.imap(_fetch_batch, gen()):
-            yield self._finalize(imgs, target, sizes.pop(0))
+        pump()
+        for chunk, seed in batches:
+            samples = []
+            for _ in chunk:
+                samples.append(pending.popleft().get())
+                pump()
+            imgs = np.stack([s[0] for s in samples])
+            target = {
+                key: np.stack([np.asarray(s[1][key]) for s in samples])
+                for key in samples[0][1]
+            }
+            yield self._finalize(imgs, target, len(chunk))
 
 
 def build_data(cfg: Dict, data_root: str, process_index: int = 0,
