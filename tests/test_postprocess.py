@@ -129,3 +129,21 @@ def test_postprocess_parity_vs_reference(rng):
             order = np.lexsort((arr[:, 0], arr[:, 6], -arr[:, 4] * arr[:, 5]))
             return arr[order]
         np.testing.assert_allclose(canon(got), canon(want), rtol=1e-4, atol=1e-4)
+
+
+def test_blocked_nms_matches_host_oracle(rng):
+    """Block-sequential greedy (K > block) vs the independent host greedy
+    oracle, on dense overlapping boxes with deep suppression chains."""
+    from yolov4_tpu import native
+
+    b, k = 3, 640  # spans 3 blocks at block=256
+    centers = rng.uniform(0, 400, (b, k, 2)).astype(np.float32)
+    wh = rng.uniform(20, 180, (b, k, 2)).astype(np.float32)
+    boxes = np.concatenate([centers, centers + wh], -1)
+    valid = rng.random((b, k)) < 0.9
+
+    keep = np.asarray(greedy_nms_mask(
+        jnp.asarray(boxes), jnp.asarray(valid), 0.45, block=256))
+    for i in range(b):
+        want = native.greedy_nms_host(boxes[i], valid[i], 0.45)
+        np.testing.assert_array_equal(keep[i], want, err_msg=f"batch {i}")

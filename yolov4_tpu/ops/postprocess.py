@@ -34,13 +34,11 @@ from yolov4_tpu.ops.boxes import cxcywh_to_xyxy
 from yolov4_tpu.ops.nms import greedy_nms_mask
 
 
-@partial(jax.jit, static_argnames=("num_classes", "pre_nms_topk", "max_dets",
-                                   "use_pallas_nms"))
+@partial(jax.jit, static_argnames=("num_classes", "pre_nms_topk", "max_dets"))
 def postprocess(predictions: jnp.ndarray, num_classes: int,
                 conf_thre: float, nms_thre: float,
                 pre_nms_topk: int = 2048,
-                max_dets: int = 100,
-                use_pallas_nms: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                max_dets: int = 100) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """predictions: [B, N, 5+C] decoded model output (cxcywh + obj + cls).
 
     Returns:
@@ -84,11 +82,7 @@ def postprocess(predictions: jnp.ndarray, num_classes: int,
     # class-offset trick: disjoint coordinate islands per class
     span = jnp.max(jnp.abs(sel_boxes)) + 1.0
     offset_boxes = sel_boxes + (cls_idx.astype(jnp.float32) * span)[..., None]
-    if use_pallas_nms:
-        from yolov4_tpu.ops.nms_pallas import greedy_nms_mask_pallas
-        keep = greedy_nms_mask_pallas(offset_boxes, valid, nms_thre)
-    else:
-        keep = greedy_nms_mask(offset_boxes, valid, nms_thre)   # [B, K]
+    keep = greedy_nms_mask(offset_boxes, valid, nms_thre)       # [B, K]
 
     kept_scores = jnp.where(keep, top_scores, -1.0)
     d = min(max_dets, k)
