@@ -57,7 +57,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--img-size", type=int, default=608)
     parser.add_argument("--batch-size", type=int, default=16)
-    parser.add_argument("--iters", type=int, default=30)
+    parser.add_argument("--iters", type=int, default=50)
     parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--conf-thre", type=float, default=0.005)
     parser.add_argument("--nms-thre", type=float, default=0.4)

@@ -100,3 +100,84 @@ def test_s2d_gradients_match():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4),
         g_ref, g_new)
+
+
+def test_fused_keep_pre_chain_matches_plain():
+    """stride1_keep -> stride2_pre chain (no reshuffle copies) vs the plain
+    stem+downsample pair, shared params, eval mode."""
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+
+    class Pair(ConvBNAct.__bases__[0]):  # nn.Module
+        mode: str = "none"
+
+        @__import__("flax").linen.compact
+        def __call__(self, x, train=False):
+            stem_map = {"none": "none", "fused": "stride1_keep"}
+            base_map = {"none": "none", "fused": "stride2_pre"}
+            x = ConvBNAct(32, 3, 1, act="mish",
+                          s2d=stem_map[self.mode], name="stem")(x, train)
+            return ConvBNAct(64, 3, 2, act="mish",
+                             s2d=base_map[self.mode], name="base")(x, train)
+
+    plain = Pair(mode="none")
+    fused = Pair(mode="fused")
+    variables = plain.init(jax.random.PRNGKey(0), x)
+    # identical param trees by construction
+    shapes_p = jax.tree_util.tree_map(lambda a: a.shape, variables)
+    shapes_f = jax.tree_util.tree_map(
+        lambda a: a.shape, fused.init(jax.random.PRNGKey(0), x))
+    assert shapes_p == shapes_f
+    ref = plain.apply(variables, x)
+    got = fused.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # train mode: outputs AND updated batch statistics must match (the
+    # tiled BN reduces over phases — same element sets as full-res BN)
+    ref_t, ref_vars = plain.apply(variables, x, train=True,
+                                  mutable=["batch_stats"])
+    got_t, got_vars = fused.apply(variables, x, train=True,
+                                  mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(ref_t),
+                               rtol=2e-5, atol=2e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        ref_vars["batch_stats"], got_vars["batch_stats"])
+
+
+def test_fused_gradients_match_plain():
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    from flax import linen as fnn
+
+    class Pair(fnn.Module):
+        mode: str = "none"
+
+        @fnn.compact
+        def __call__(self, x, train=False):
+            stem_map = {"none": "none", "fused": "stride1_keep"}
+            base_map = {"none": "none", "fused": "stride2_pre"}
+            x = ConvBNAct(32, 3, 1, act="mish",
+                          s2d=stem_map[self.mode], name="stem")(x, train)
+            return ConvBNAct(64, 3, 2, act="mish",
+                             s2d=base_map[self.mode], name="base")(x, train)
+
+    plain, fused = Pair(mode="none"), Pair(mode="fused")
+    variables = plain.init(jax.random.PRNGKey(1), x)
+
+    def loss(mod):
+        def f(params):
+            out, _ = mod.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"])
+            return jnp.sum(out ** 2)
+        return f
+
+    g_ref = jax.grad(loss(plain))(variables["params"])
+    g_new = jax.grad(loss(fused))(variables["params"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4),
+        g_ref, g_new)

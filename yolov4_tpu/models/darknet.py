@@ -22,10 +22,17 @@ class Backbone(nn.Module):
 
     return_pyramid: bool = True
     dtype: Any = jnp.float32
-    # space-to-depth lowering for the low-channel stem/stage1/stage2 convs
-    # (cin 3/32/64 -> 12/128/256 on the MXU's contracting rows); numerically
-    # equivalent, checkpoint-compatible (see layers.ConvBNAct)
-    s2d: bool = True
+    # space-to-depth lowering for the low-channel stem/stage1 convs
+    # (cin 3/32 -> 12/128 on the MXU's contracting rows); numerically
+    # equivalent, checkpoint-compatible (see layers.ConvBNAct). Values:
+    #   False/"none":  plain convs
+    #   True/"fused":  stem keeps the s2d layout through BN+mish into
+    #                  stage1's base conv (no reshuffle copies — profiled
+    #                  as the unfused modes' cost); stage2+ plain (their
+    #                  reshuffles outweigh the cin-64 MXU gain)
+    #   "unfused":     standalone stride1/stride2 modes everywhere (kept
+    #                  for tests/ablation)
+    s2d: Any = True
     # SyncBN: shard_map axis to pmean batch statistics over (or None for
     # per-replica stats). The reference applies SyncBN only in its darknet
     # pretrainer (darknet/main_amp.py:147-150).
@@ -34,13 +41,22 @@ class Backbone(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         d, bx = self.dtype, self.bn_axis
+        mode = {False: "none", True: "fused"}.get(self.s2d, self.s2d)
+        even = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        if mode == "fused" and not even:
+            mode = "none"  # keep/pre pair needs even dims
+        stem_s2d = {"none": "none", "fused": "stride1_keep",
+                    "unfused": "stride1"}[mode]
+        base1_s2d = {"none": "none", "fused": "stride2_pre",
+                     "unfused": "stride2"}[mode]
+        base2_s2d = "stride2" if mode == "unfused" else "none"
         x = ConvBNAct(32, 3, 1, act="mish", dtype=d, name="stem", bn_axis=bx,
-                      s2d="stride1" if self.s2d else "none")(x, train)
+                      s2d=stem_s2d)(x, train)
 
         x = CSPDownSample0(64, 3, 2, act="mish", dtype=d, name="stage1",
-                           bn_axis=bx, s2d_base=self.s2d)(x, train)
+                           bn_axis=bx, s2d_base=base1_s2d)(x, train)
         x = CSPDownSample(128, 3, 2, num_blocks=2, act="mish", dtype=d,
-                          name="stage2", bn_axis=bx, s2d_base=self.s2d)(x, train)
+                          name="stage2", bn_axis=bx, s2d_base=base2_s2d)(x, train)
         x3 = CSPDownSample(256, 3, 2, num_blocks=8, act="mish", dtype=d,
                            bn_axis=bx, name="stage3")(x, train)
         x4 = CSPDownSample(512, 3, 2, num_blocks=8, act="mish", dtype=d,

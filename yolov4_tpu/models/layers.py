@@ -29,8 +29,21 @@ bn_scale_init = nn.initializers.normal(stddev=0.01)
 
 
 def mish(x: jnp.ndarray) -> jnp.ndarray:
-    """Mish activation: x * tanh(softplus(x)) (reference darknet.py:14-20)."""
-    return x * jnp.tanh(jax.nn.softplus(x))
+    """Mish activation: x * tanh(softplus(x)) (reference darknet.py:14-20).
+
+    Computed via the exact algebraic identity
+        tanh(ln(u)) = (u^2 - 1) / (u^2 + 1),  u = 1 + e^x
+        =>  mish(x) = x * a / (a + 2),        a = e^x (e^x + 2)
+    which needs ONE transcendental (exp) instead of three (exp, log1p,
+    tanh). Mish dominates the VPU time of the stride-4/8 backbone stages
+    (profiled: the 304^2 conv fusions are activation-bound), so this is a
+    straight ~2x cut of that cost with float32 agreement to a few ulp.
+    For x > 20, a/(a+2) == 1 to ~1e-17 — clamp to avoid exp overflow and
+    return x (mish's exact asymptote).
+    """
+    e = jnp.exp(jnp.minimum(x, 20.0))
+    a = e * (e + 2.0)
+    return jnp.where(x > 20.0, x, x * a / (a + 2.0))
 
 
 def leaky_relu(x: jnp.ndarray) -> jnp.ndarray:
@@ -113,6 +126,56 @@ class _ConvKernel(nn.Module):
         return self.param("kernel", conv_kernel_init, self.shape, jnp.float32)
 
 
+class _TiledBN(nn.Module):
+    """BatchNorm over a space-to-depth-tiled channel axis: the input's
+    4*ch channels are (phase, c) views of a full-resolution ch-channel
+    map, so per-c statistics reduce over (batch, space, PHASE) — exactly
+    the element sets the full-res BatchNorm reduces over. Params and
+    batch_stats are [ch], path-compatible with nn.BatchNorm (norm/scale,
+    norm/bias, batch_stats norm/{mean,var}), so checkpoints are unaffected.
+    Matches flax BatchNorm numerics: f32 stats, biased variance,
+    ra = momentum*ra + (1-momentum)*batch."""
+
+    ch: int
+    phases: int = 4
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+    bn_axis: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        scale = self.param("scale", bn_scale_init, (self.ch,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.ch,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(self.ch, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(self.ch, jnp.float32))
+        if train:
+            xr = x.reshape(x.shape[:-1] + (self.phases, self.ch)
+                           ).astype(jnp.float32)
+            axes = tuple(range(xr.ndim - 1))
+            mean = jnp.mean(xr, axis=axes)
+            mean2 = jnp.mean(jnp.square(xr), axis=axes)
+            if self.bn_axis is not None:  # SyncBN
+                mean = jax.lax.pmean(mean, self.bn_axis)
+                mean2 = jax.lax.pmean(mean2, self.bn_axis)
+            var = mean2 - jnp.square(mean)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        mt = jnp.tile(mean, self.phases).astype(self.dtype)
+        st = (jnp.tile(scale, self.phases)
+              * jax.lax.rsqrt(jnp.tile(var, self.phases) + self.epsilon)
+              ).astype(self.dtype)
+        bt = jnp.tile(bias, self.phases).astype(self.dtype)
+        return (x.astype(self.dtype) - mt) * st + bt
+
+
 class ConvBNAct(nn.Module):
     """Conv2d (same padding) + optional BatchNorm + activation
     (reference darknet.py:23-58).
@@ -123,11 +186,20 @@ class ConvBNAct(nn.Module):
     array). Parameters are identical in path, shape, and init — the kernel
     is rearranged on the fly — so checkpoints are unaffected:
 
-      * "stride1": S2D -> 3x3 conv (4Ci -> 4Co) -> D2S. For the stem.
+      * "stride1": S2D -> 3x3 conv (4Ci -> 4Co) -> D2S. Standalone.
       * "stride2": S2D -> 2x2 stride-1 conv (4Ci -> Co), pad (1,0). For
         3x3 stride-2 downsample convs; output needs no D2S.
+      * "stride1_keep": like "stride1" but the OUTPUT STAYS in s2d layout
+        (phase-major channels); BatchNorm runs tiled (_TiledBN, exact).
+        Profiling showed the standalone modes' D2S/S2D reshuffle copies
+        (~380 MB each at 608^2) eating the MXU gain — keeping the layout
+        through BN+act into a following "stride2_pre" conv removes them.
+      * "stride2_pre": like "stride2" but the input is ALREADY in s2d
+        layout (a "stride1_keep" producer's output).
 
-    Odd spatial sizes fall back to the standard conv with the same params.
+    Odd spatial sizes fall back to the standard conv with the same params
+    (standalone modes only; the keep/pre pair requires even dims, which
+    the model's multiple-of-32 input contract guarantees).
     """
 
     out_ch: int
@@ -165,27 +237,37 @@ class ConvBNAct(nn.Module):
         else:
             assert self.kernel_size == 3 and not self.bias, \
                 "s2d lowering supports bias-free 3x3 convs"
-            assert (self.s2d, self.stride) in (("stride1", 1), ("stride2", 2))
-            kernel = _ConvKernel(
-                (3, 3, x.shape[-1], self.out_ch), name="conv")()
+            assert (self.s2d, self.stride) in (
+                ("stride1", 1), ("stride2", 2),
+                ("stride1_keep", 1), ("stride2_pre", 2))
+            cin = (x.shape[-1] // 4 if self.s2d == "stride2_pre"
+                   else x.shape[-1])
+            kernel = _ConvKernel((3, 3, cin, self.out_ch), name="conv")()
             x = x.astype(self.dtype)
             dn = ("NHWC", "HWIO", "NHWC")
-            if x.shape[1] % 2 or x.shape[2] % 2:  # odd input: standard conv
+            if self.s2d in ("stride1", "stride2") and (
+                    x.shape[1] % 2 or x.shape[2] % 2):
+                # odd input: standard conv with the same params
                 x = jax.lax.conv_general_dilated(
                     x, kernel.astype(self.dtype), (self.stride, self.stride),
                     [(pad, pad), (pad, pad)], dimension_numbers=dn)
-            elif self.s2d == "stride1":
+            elif self.s2d in ("stride1", "stride1_keep"):
                 w = _s2d_stride1_kernel(kernel).astype(self.dtype)
                 x = jax.lax.conv_general_dilated(
                     space_to_depth(x), w, (1, 1), [(1, 1), (1, 1)],
                     dimension_numbers=dn)
-                x = depth_to_space(x)
+                if self.s2d == "stride1":
+                    x = depth_to_space(x)
             else:
                 w = _s2d_stride2_kernel(kernel).astype(self.dtype)
+                if self.s2d == "stride2":
+                    x = space_to_depth(x)
                 x = jax.lax.conv_general_dilated(
-                    space_to_depth(x), w, (1, 1), [(1, 0), (1, 0)],
-                    dimension_numbers=dn)
-        if self.bn:
+                    x, w, (1, 1), [(1, 0), (1, 0)], dimension_numbers=dn)
+        if self.bn and self.s2d == "stride1_keep":
+            x = _TiledBN(self.out_ch, phases=4, dtype=self.dtype,
+                         bn_axis=self.bn_axis, name="norm")(x, train)
+        elif self.bn:
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,       # == torch BatchNorm2d momentum 0.1
@@ -232,7 +314,7 @@ class CSPDownSample0(nn.Module):
     stride: int = 2
     act: str = "mish"
     dtype: Any = jnp.float32
-    s2d_base: bool = False
+    s2d_base: str = "none"  # "none" | "stride2" | "stride2_pre"
     bn_axis: Any = None
 
     @nn.compact
@@ -240,7 +322,7 @@ class CSPDownSample0(nn.Module):
         c, k, s, a, d = self.out_ch, self.kernel_size, self.stride, self.act, self.dtype
         bx = self.bn_axis
         x = ConvBNAct(c, k, s, act=a, dtype=d, name="base", bn_axis=bx,
-                      s2d="stride2" if self.s2d_base else "none")(x, train)
+                      s2d=self.s2d_base)(x, train)
 
         x1 = ConvBNAct(c, 1, 1, act=a, dtype=d, bn_axis=bx, name="part1")(x, train)
 
@@ -264,7 +346,7 @@ class CSPDownSample(nn.Module):
     shortcut: bool = True
     act: str = "mish"
     dtype: Any = jnp.float32
-    s2d_base: bool = False
+    s2d_base: str = "none"  # "none" | "stride2" | "stride2_pre"
     bn_axis: Any = None
 
     @nn.compact
@@ -272,7 +354,7 @@ class CSPDownSample(nn.Module):
         c, a, d = self.out_ch, self.act, self.dtype
         bx = self.bn_axis
         x = ConvBNAct(c, self.kernel_size, self.stride, act=a, dtype=d, name="base",
-                      bn_axis=bx, s2d="stride2" if self.s2d_base else "none")(x, train)
+                      bn_axis=bx, s2d=self.s2d_base)(x, train)
 
         x1 = ConvBNAct(c // 2, 1, 1, act=a, dtype=d, bn_axis=bx, name="part1")(x, train)
 

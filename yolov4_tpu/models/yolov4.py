@@ -39,7 +39,7 @@ class YOLOv4(nn.Module):
     anchor_mask: Sequence[Sequence[int]] = ((0, 1, 2), (3, 4, 5), (6, 7, 8))
     legacy_spp_pools: bool = True
     dtype: Any = jnp.float32
-    s2d: bool = True  # space-to-depth lowering of the low-channel stem convs
+    s2d: Any = True  # space-to-depth stem lowering (see darknet.Backbone)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
