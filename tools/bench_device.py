@@ -117,10 +117,13 @@ def main():
         labels[:, 0] = [100, 100, 40, 40, 3]
 
         def window(step, state, inputs, iters=10):
+            # block on the FULL state: the loss buffer becomes ready at the
+            # end of the forward, BEFORE backward+optimizer complete, so
+            # loss-only blocking understates the step by several x
             t0 = time.time()
             for _ in range(iters):
                 state = step(state, *inputs)
-            jax.block_until_ready(state.loss)
+            jax.block_until_ready(state)
             return (time.time() - t0) / iters * 1000.0, state
 
         # the step donates its state: give each variant its own buffer copy
