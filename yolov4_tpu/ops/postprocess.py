@@ -34,11 +34,13 @@ from yolov4_tpu.ops.boxes import cxcywh_to_xyxy
 from yolov4_tpu.ops.nms import greedy_nms_mask
 
 
-@partial(jax.jit, static_argnames=("num_classes", "pre_nms_topk", "max_dets"))
+@partial(jax.jit, static_argnames=("num_classes", "pre_nms_topk", "max_dets",
+                                   "nms_engine"))
 def postprocess(predictions: jnp.ndarray, num_classes: int,
                 conf_thre: float, nms_thre: float,
                 pre_nms_topk: int = 2048,
-                max_dets: int = 100) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                max_dets: int = 100,
+                nms_engine: str = "auto") -> Tuple[jnp.ndarray, jnp.ndarray]:
     """predictions: [B, N, 5+C] decoded model output (cxcywh + obj + cls).
 
     Returns:
@@ -82,7 +84,19 @@ def postprocess(predictions: jnp.ndarray, num_classes: int,
     # class-offset trick: disjoint coordinate islands per class
     span = jnp.max(jnp.abs(sel_boxes)) + 1.0
     offset_boxes = sel_boxes + (cls_idx.astype(jnp.float32) * span)[..., None]
-    keep = greedy_nms_mask(offset_boxes, valid, nms_thre)       # [B, K]
+    # "auto": the Pallas kernel (on-the-fly VMEM IoU tiles, ~2x the XLA
+    # path on chip, bit-identical results) on TPU when the candidate
+    # count tiles cleanly; the XLA block-sequential path elsewhere
+    use_pallas = (nms_engine == "pallas"
+                  or (nms_engine == "auto"
+                      and jax.default_backend() == "tpu"
+                      and offset_boxes.shape[-2] % 512 == 0))
+    if use_pallas:
+        from yolov4_tpu.ops.nms_pallas import greedy_nms_mask_pallas
+        keep = greedy_nms_mask_pallas(offset_boxes, valid, nms_thre,
+                                      block=512)
+    else:
+        keep = greedy_nms_mask(offset_boxes, valid, nms_thre)   # [B, K]
 
     kept_scores = jnp.where(keep, top_scores, -1.0)
     d = min(max_dets, k)
