@@ -8,9 +8,14 @@ import os
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# On a 1-CPU host the 8 virtual devices execute nearly serially, so they
+# can reach a collective's rendezvous more than 40 s (XLA's default hard
+# limit) apart — XLA then LOG(FATAL)s the whole process from
+# AllGatherThunk. Raise the limit; correctness is unaffected.
+if "collective_call_terminate_timeout" not in _flags:
+    _flags += " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 

@@ -14,6 +14,17 @@ _DEFAULT_CACHE = os.path.join(os.path.dirname(os.path.dirname(
 
 
 def setup_jax(cache_dir: str | None = None, enable_x64: bool = False) -> None:
+    # Must run BEFORE jax initializes: on a 1-CPU host, virtual multi-device
+    # CPU runs (xla_force_host_platform_device_count, e.g. the driver's
+    # multichip dryrun) execute the per-device programs nearly serially, and
+    # XLA LOG(FATAL)s the process if devices reach a collective rendezvous
+    # more than 40 s (its default hard limit) apart.
+    flags = os.environ.get("XLA_FLAGS", "")
+    if ("xla_force_host_platform_device_count" in flags
+            and "collective_call_terminate_timeout" not in flags):
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_cpu_collective_call_terminate_timeout_seconds=3600")
+
     import jax
 
     # The environment's TPU plugin ignores JAX_PLATFORMS from the env; this
