@@ -131,6 +131,28 @@ def test_postprocess_parity_vs_reference(rng):
         np.testing.assert_allclose(canon(got), canon(want), rtol=1e-4, atol=1e-4)
 
 
+def test_approx_topk_plumbing(rng):
+    """TEST.APPROX_TOPK path: same program with lax.approx_max_k selection.
+    On the CPU test backend approx_max_k lowers to an exact sort, so the
+    outputs must equal the exact path here (on TPU it is a documented
+    recall~0.95 approximation; exactness there is NOT asserted)."""
+    b, n, c = 2, 600, 80
+    preds = np.zeros((b, n, 5 + c), np.float32)
+    preds[..., 0:2] = rng.uniform(50, 550, (b, n, 2))
+    preds[..., 2:4] = rng.uniform(10, 120, (b, n, 2))
+    preds[..., 4] = rng.uniform(0, 1, (b, n))
+    preds[..., 5:] = rng.uniform(0, 1, (b, n, c)) * (
+        rng.random((b, n, c)) < 0.05)
+
+    exact = postprocess(jnp.asarray(preds), c, 0.3, 0.45,
+                        pre_nms_topk=256, max_dets=64)
+    approx = postprocess(jnp.asarray(preds), c, 0.3, 0.45,
+                         pre_nms_topk=256, max_dets=64, topk_approx=True)
+    np.testing.assert_array_equal(np.asarray(exact[1]), np.asarray(approx[1]))
+    np.testing.assert_allclose(np.asarray(exact[0]), np.asarray(approx[0]),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_blocked_nms_matches_host_oracle(rng):
     """Block-sequential greedy (K > block) vs the independent host greedy
     oracle, on dense overlapping boxes with deep suppression chains."""

@@ -169,6 +169,45 @@ def main():
         print(f"aug/no-aug ratio: median {np.median(ratios):.2f}x "
               f"(windows {[round(r, 2) for r in ratios]})")
 
+    if "topk" in parts:
+        # exact vs approx_max_k candidate selection, INTERLEAVED paired
+        # windows (full fwd+decode+NMS program both sides)
+        model = build_model(cfg)
+        variables = jax.device_put(
+            init_variables(model, jax.random.PRNGKey(0), size))
+
+        def full_fn(approx):
+            @jax.jit
+            def full(x):
+                preds = model.apply(variables, x, train=False)
+                return postprocess(preds, 80, args.conf_thre, 0.4,
+                                   pre_nms_topk=2048, max_dets=100,
+                                   topk_approx=approx)
+            return full
+
+        f_exact, f_approx = full_fn(False), full_fn(True)
+        jax.block_until_ready(f_exact(imgs))
+        jax.block_until_ready(f_approx(imgs))
+
+        def one_window(f, iters):
+            t0 = time.time()
+            for _ in range(iters):
+                out = f(imgs)
+            jax.block_until_ready(out)
+            return (time.time() - t0) / iters * 1000.0
+
+        e_ms, a_ms, ratios = [], [], []
+        for _ in range(6):
+            me = one_window(f_exact, args.iters)
+            ma = one_window(f_approx, args.iters)
+            e_ms.append(me)
+            a_ms.append(ma)
+            ratios.append(ma / me)
+        results["fwd+NMS (exact topk)"] = float(np.median(e_ms))
+        results["fwd+NMS (approx topk)"] = float(np.median(a_ms))
+        print(f"approx/exact ratio: median {np.median(ratios):.3f}x "
+              f"(windows {[round(r, 3) for r in ratios]})")
+
     if "nms" in parts:
         k = 2048
         boxes = jnp.asarray(rng.uniform(0, size, (b, k, 2)), jnp.float32)

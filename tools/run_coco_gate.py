@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""The 0.359-AP gate, one command (VERDICT r1 #10 readiness).
+
+Searches the usual mount points for COCO val2017 and trained reference
+weights; if both exist, runs the published eval protocol
+(conf 0.0001, NMS 0.4, 608x608 — reference val.py:36-38) through the full
+TPU pipeline (converted weights -> batched Predictor -> first-party
+COCOeval) and reports AP/AP50 against the published 0.35925/0.59468
+(reference README.md:122-123). If either prerequisite is absent it says
+exactly what is missing and exits 2 — every pipeline piece is already
+parity-tested, so this script is the only step left when the environment
+ever exposes the data.
+
+    python tools/run_coco_gate.py [--data DIR] [--checkpoint PATH]
+        [--batch-size 8] [--max-dets 300]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+PUBLISHED_AP = 0.35925
+PUBLISHED_AP50 = 0.59468
+
+DATA_CANDIDATES = [
+    "./COCO", "./data/COCO", "/root/COCO", "/root/data/COCO",
+    "/data/COCO", "/datasets/COCO", "/root/datasets/COCO",
+]
+CKPT_CANDIDATES = [
+    "./model_best.pth.tar", "./checkpoint.pth.tar",
+    "./weights/model_best.pth.tar", "/root/weights/model_best.pth.tar",
+    "./outputs/yolov4/model_best.ckpt",
+]
+
+
+def find_data(explicit):
+    roots = [explicit] if explicit else []
+    roots += [os.environ.get("COCO_ROOT", "")] + DATA_CANDIDATES
+    for root in roots:
+        if not root:
+            continue
+        ann = os.path.join(root, "annotations", "instances_val2017.json")
+        imgs = os.path.join(root, "images", "val2017")
+        alt_imgs = os.path.join(root, "val2017")
+        if os.path.isfile(ann) and (os.path.isdir(imgs) or os.path.isdir(alt_imgs)):
+            return root
+    return None
+
+
+def find_ckpt(explicit):
+    paths = [explicit] if explicit else []
+    paths += [os.environ.get("YOLOV4_CKPT", "")] + CKPT_CANDIDATES
+    paths += sorted(glob.glob("./**/model_best.pth.tar", recursive=True))[:5]
+    for p in paths:
+        if p and os.path.isfile(p):
+            return p
+    return None
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data", default=None)
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--cfg", default="configs/yolov4_Tianxiaomo.cfg")
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--conf-thre", type=float, default=0.0001)
+    parser.add_argument("--nms-thre", type=float, default=0.4)
+    parser.add_argument("--pre-nms-topk", type=int, default=2048,
+                        help="AP-identical to 8192 at these settings "
+                             "(tests/test_eval_protocol.py ablation)")
+    parser.add_argument("--max-dets", type=int, default=300)
+    args = parser.parse_args()
+
+    data = find_data(args.data)
+    ckpt = find_ckpt(args.checkpoint)
+    missing = []
+    if data is None:
+        missing.append("COCO val2017 (annotations/instances_val2017.json + "
+                       "images/val2017) — searched ./COCO, /root/COCO, "
+                       "$COCO_ROOT, ...")
+    if ckpt is None:
+        missing.append("trained weights (model_best.pth.tar or .ckpt) — "
+                       "searched ./, ./weights, $YOLOV4_CKPT, ...")
+    if missing:
+        print("COCO gate BLOCKED; missing:")
+        for m in missing:
+            print(f"  - {m}")
+        sys.exit(2)
+
+    print(f"data: {data}\ncheckpoint: {ckpt}")
+    sys.argv = [
+        "val.py", data, "-c", args.cfg, "--checkpoint", ckpt,
+        "--conf-thre", str(args.conf_thre), "--nms-thre", str(args.nms_thre),
+        "--batch-size", str(args.batch_size),
+        "--pre-nms-topk", str(args.pre_nms_topk),
+        "--max-dets", str(args.max_dets),
+    ]
+    import val
+    ap, ap50 = val.main()
+    print(f"\nGATE: AP {ap:.5f} (published {PUBLISHED_AP}) "
+          f"AP50 {ap50:.5f} (published {PUBLISHED_AP50})")
+    ok = ap >= PUBLISHED_AP - 0.002
+    print("GATE " + ("PASSED" if ok else "NOT met"))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -46,6 +46,10 @@ def parse_args():
                              "TEST.MAX_DETS; the reference emits unlimited "
                              "rows and pycocotools caps 100 per category — "
                              "use 300 to approximate that at dense conf)")
+    parser.add_argument("--approx-topk", action="store_true",
+                        help="approx_max_k candidate selection (recall "
+                             "~0.95): faster postprocess tail, not "
+                             "reference-exact")
     return parser.parse_args()
 
 
@@ -60,6 +64,8 @@ def main():
         cfg["TEST"]["PRE_NMS_TOPK"] = args.pre_nms_topk
     if args.max_dets > 0:
         cfg["TEST"]["MAX_DETS"] = args.max_dets
+    if args.approx_topk:
+        cfg["TEST"]["APPROX_TOPK"] = True
     batch_size = cfg["TEST"].get("BATCH_SIZE", 8) if args.batch_size < 0 else args.batch_size
     workers = cfg["DATA"]["WORKERS"] if args.workers < 0 else args.workers
 

@@ -49,6 +49,9 @@ DEFAULTS: Dict[str, Dict[str, Any]] = {
         # reference config files load unchanged).
         "SPP_LEGACY_POOLS": True,  # reproduce reference SPP 5/9/5 pooling quirk
         "COMPUTE_DTYPE": "bfloat16",
+        # fused Pallas CSP stage bodies at eval (stage1-3): False | True |
+        # "auto" (on TPU only). Equivalent math, checkpoint-compatible.
+        "PALLAS_CSP": False,
     },
     "CRITERION": {
         "TYPE": "YOLOLoss",
@@ -90,6 +93,9 @@ DEFAULTS: Dict[str, Dict[str, Any]] = {
         "BATCH_SIZE": 8,
         "PRE_NMS_TOPK": 2048,
         "MAX_DETS": 100,
+        # opt-in: approx_max_k candidate selection (recall ~0.95) instead of
+        # exact sorts; trades reference-exact postprocess for ~2-3 ms/batch
+        "APPROX_TOPK": False,
     },
 }
 

@@ -48,6 +48,7 @@ class Predictor:
         self.num_classes = cfg["MODEL"]["N_CLASSES"]
         self.pre_nms_topk = cfg["TEST"].get("PRE_NMS_TOPK", 2048)
         self.max_dets = cfg["TEST"].get("MAX_DETS", 100)
+        self.topk_approx = bool(cfg["TEST"].get("APPROX_TOPK", False))
 
         self._in_sharding = None
         self._replicated = None
@@ -90,7 +91,8 @@ class Predictor:
             preds = self.model.apply(variables, images, train=False)
             return postprocess(
                 preds, self.num_classes, conf_thre, nms_thre,
-                pre_nms_topk=self.pre_nms_topk, max_dets=self.max_dets)
+                pre_nms_topk=self.pre_nms_topk, max_dets=self.max_dets,
+                topk_approx=self.topk_approx)
 
         self._run = _run
 

@@ -35,13 +35,22 @@ from yolov4_tpu.ops.nms import greedy_nms_mask
 
 
 @partial(jax.jit, static_argnames=("num_classes", "pre_nms_topk", "max_dets",
-                                   "nms_engine"))
+                                   "nms_engine", "topk_approx"))
 def postprocess(predictions: jnp.ndarray, num_classes: int,
                 conf_thre: float, nms_thre: float,
                 pre_nms_topk: int = 2048,
                 max_dets: int = 100,
-                nms_engine: str = "auto") -> Tuple[jnp.ndarray, jnp.ndarray]:
+                nms_engine: str = "auto",
+                topk_approx: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """predictions: [B, N, 5+C] decoded model output (cxcywh + obj + cls).
+
+    ``topk_approx`` swaps the two large candidate-selection sorts for TPU
+    ``lax.approx_max_k`` (PartialReduce, recall_target 0.95) — an OPT-IN
+    speed/exactness trade (the default keeps the reference's exact
+    semantics, pinned by the parity tests). Results stay score-sorted
+    (aggregate_to_topk performs an exact final top-k over the partial
+    winners), so NMS greedy order is unaffected; only the tail of the
+    candidate set may differ.
 
     Returns:
       detections: [B, max_dets, 7] = x1,y1,x2,y2,obj,cls_conf,cls_idx
@@ -59,9 +68,11 @@ def postprocess(predictions: jnp.ndarray, num_classes: int,
     # instead pick the top K boxes by their best pair score (a pair's score
     # is bounded by its box's best), then top-K pairs among those boxes.
     # Exact whenever <= K boxes carry any above-threshold pair.
+    top_k = (jax.lax.approx_max_k if topk_approx else jax.lax.top_k)
     k_box = min(pre_nms_topk, n)
     best_per_box = obj * jnp.max(cls_prob, axis=-1)             # [B, N]
-    _, box_sel = jax.lax.top_k(best_per_box, k_box)             # [B, Kb]
+    _, box_sel = top_k(best_per_box, k_box)                     # [B, Kb]
+    box_sel = box_sel.astype(jnp.int32)
     sel_obj_boxes = jnp.take_along_axis(obj, box_sel, axis=1)   # [B, Kb]
     sel_cls_boxes = jnp.take_along_axis(
         cls_prob, box_sel[..., None], axis=1)                   # [B, Kb, C]
@@ -70,7 +81,8 @@ def postprocess(predictions: jnp.ndarray, num_classes: int,
     flat = pair_scores.reshape(b, k_box * num_classes)
     flat = jnp.where(flat >= conf_thre, flat, -1.0)
     k = min(pre_nms_topk, k_box * num_classes)
-    top_scores, top_idx = jax.lax.top_k(flat, k)                # [B, K] desc
+    top_scores, top_idx = top_k(flat, k)                        # [B, K] desc
+    top_idx = top_idx.astype(jnp.int32)
     valid = top_scores >= conf_thre
 
     box_local = top_idx // num_classes                          # [B, K] in Kb
