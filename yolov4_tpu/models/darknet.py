@@ -37,10 +37,20 @@ class Backbone(nn.Module):
     # per-replica stats). The reference applies SyncBN only in its darknet
     # pretrainer (darknet/main_amp.py:147-150).
     bn_axis: Any = None
+    # Fused Pallas CSP stage bodies at EVAL time (ops/csp_pallas.py) for the
+    # memory-bound stride-4/8/16 stages (stage1-3; stage4/5 weights exceed
+    # VMEM). False | True | "auto" (= on when running on TPU). Exactly
+    # equivalent math (BN running stats folded), checkpoint-compatible.
+    pallas_csp: Any = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         d, bx = self.dtype, self.bn_axis
+        fused = self.pallas_csp
+        if fused == "auto":
+            import jax as _jax
+            fused = _jax.default_backend() == "tpu"
+        fused = bool(fused) and not train
         mode = {False: "none", True: "fused"}.get(self.s2d, self.s2d)
         even = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
         if mode == "fused" and not even:
@@ -54,11 +64,13 @@ class Backbone(nn.Module):
                       s2d=stem_s2d)(x, train)
 
         x = CSPDownSample0(64, 3, 2, act="mish", dtype=d, name="stage1",
-                           bn_axis=bx, s2d_base=base1_s2d)(x, train)
+                           bn_axis=bx, s2d_base=base1_s2d,
+                           fused=fused)(x, train)
         x = CSPDownSample(128, 3, 2, num_blocks=2, act="mish", dtype=d,
-                          name="stage2", bn_axis=bx, s2d_base=base2_s2d)(x, train)
+                          name="stage2", bn_axis=bx, s2d_base=base2_s2d,
+                          fused=fused)(x, train)
         x3 = CSPDownSample(256, 3, 2, num_blocks=8, act="mish", dtype=d,
-                           bn_axis=bx, name="stage3")(x, train)
+                           bn_axis=bx, name="stage3", fused=fused)(x, train)
         x4 = CSPDownSample(512, 3, 2, num_blocks=8, act="mish", dtype=d,
                            bn_axis=bx, name="stage4")(x3, train)
         x5 = CSPDownSample(1024, 3, 2, num_blocks=4, act="mish", dtype=d,

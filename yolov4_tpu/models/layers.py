@@ -282,6 +282,65 @@ class ConvBNAct(nn.Module):
         return ACTIVATIONS[self.act](x)
 
 
+class _BNFold(nn.Module):
+    """Declares nn.BatchNorm-compatible parameters/statistics (params
+    norm/scale + norm/bias, batch_stats norm/mean + norm/var — same
+    shapes, inits, and paths) and returns the EVAL-time per-channel
+    affine (scale, bias) they fold to. Used by the fused Pallas stage
+    path, which needs the folded values rather than a BN application."""
+
+    ch: int
+
+    @nn.compact
+    def __call__(self) -> tuple:
+        scale = self.param("scale", bn_scale_init, (self.ch,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.ch,),
+                          jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros(self.ch, jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones(self.ch, jnp.float32))
+        s = scale * jax.lax.rsqrt(var.value + 1e-5)
+        return s, bias - mean.value * s
+
+
+class FoldedConvBN(nn.Module):
+    """Parameter-path twin of a bias-free ConvBNAct: declares the same
+    conv/kernel + norm/* tree but returns the BN-FOLDED conv kernel and
+    bias instead of applying anything — the fused Pallas CSP stage
+    (ops/csp_pallas.py) consumes these. Checkpoints are shared with the
+    plain path byte-for-byte."""
+
+    cin: int
+    cout: int
+    ksize: int = 1
+
+    @nn.compact
+    def __call__(self) -> tuple:
+        kernel = _ConvKernel((self.ksize, self.ksize, self.cin, self.cout),
+                             name="conv")()
+        s, b = _BNFold(self.cout, name="norm")()
+        return kernel * s, b
+
+
+class _FoldedResBlock(nn.Module):
+    """Folded params of a ResBlock's conv pairs (paths module_list_{i}_0/1,
+    matching ResBlock)."""
+
+    ch: int
+    num_blocks: int
+
+    @nn.compact
+    def __call__(self) -> list:
+        out = []
+        for i in range(self.num_blocks):
+            out.append(FoldedConvBN(self.ch, self.ch, 1,
+                                    name=f"module_list_{i}_0")())
+            out.append(FoldedConvBN(self.ch, self.ch, 3,
+                                    name=f"module_list_{i}_1")())
+        return out
+
+
 class ResBlock(nn.Module):
     """num_blocks x [1x1 conv, 3x3 conv] with residual adds
     (reference darknet.py:61-81)."""
@@ -316,6 +375,9 @@ class CSPDownSample0(nn.Module):
     dtype: Any = jnp.float32
     s2d_base: str = "none"  # "none" | "stride2" | "stride2_pre"
     bn_axis: Any = None
+    # eval-only fused Pallas stage body (ops/csp_pallas.py): one kernel for
+    # the whole post-base-conv subgraph, BN folded. Param tree unchanged.
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -323,6 +385,25 @@ class CSPDownSample0(nn.Module):
         bx = self.bn_axis
         x = ConvBNAct(c, k, s, act=a, dtype=d, name="base", bn_axis=bx,
                       s2d=self.s2d_base)(x, train)
+
+        from yolov4_tpu.ops.csp_pallas import (fused_csp_stage,
+                                               fused_csp_supported)
+        if (self.fused and not train and self.act == "mish"
+                and fused_csp_supported(x.shape, 0)):
+            folded = {
+                "part1": FoldedConvBN(c, c, 1, name="part1")(),
+                "part2_1_1": FoldedConvBN(c, c, 1, name="part2_1_1")(),
+                "part2_1_2_0": FoldedConvBN(c, c // 2, 1,
+                                            name="part2_1_2_0")(),
+                "part2_1_2_1": FoldedConvBN(c // 2, c, 3,
+                                            name="part2_1_2_1")(),
+                "part2_2": FoldedConvBN(c, c, 1, name="part2_2")(),
+                "transition": FoldedConvBN(2 * c, c, 1, name="transition")(),
+            }
+            import jax as _jax
+            return fused_csp_stage(
+                x, folded, num_blocks=0,
+                interpret=_jax.default_backend() != "tpu")
 
         x1 = ConvBNAct(c, 1, 1, act=a, dtype=d, bn_axis=bx, name="part1")(x, train)
 
@@ -348,6 +429,7 @@ class CSPDownSample(nn.Module):
     dtype: Any = jnp.float32
     s2d_base: str = "none"  # "none" | "stride2" | "stride2_pre"
     bn_axis: Any = None
+    fused: bool = False  # eval-only fused Pallas stage body (see CSPDownSample0)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -355,6 +437,27 @@ class CSPDownSample(nn.Module):
         bx = self.bn_axis
         x = ConvBNAct(c, self.kernel_size, self.stride, act=a, dtype=d, name="base",
                       bn_axis=bx, s2d=self.s2d_base)(x, train)
+
+        from yolov4_tpu.ops.csp_pallas import (fused_csp_stage,
+                                               fused_csp_supported)
+        if (self.fused and not train and self.act == "mish"
+                and self.shortcut
+                and fused_csp_supported(x.shape, self.num_blocks)):
+            c2 = c // 2
+            folded = {
+                "part1": FoldedConvBN(c, c2, 1, name="part1")(),
+                "part2_0": FoldedConvBN(c, c2, 1, name="part2_0")(),
+                "part2_2": FoldedConvBN(c2, c2, 1, name="part2_2")(),
+                "transition": FoldedConvBN(c, c, 1, name="transition")(),
+            }
+            blocks = _FoldedResBlock(c2, self.num_blocks, name="part2_1")()
+            for i in range(self.num_blocks):
+                folded[f"block{i}_0"] = blocks[2 * i]
+                folded[f"block{i}_1"] = blocks[2 * i + 1]
+            import jax as _jax
+            return fused_csp_stage(
+                x, folded, num_blocks=self.num_blocks,
+                interpret=_jax.default_backend() != "tpu")
 
         x1 = ConvBNAct(c // 2, 1, 1, act=a, dtype=d, bn_axis=bx, name="part1")(x, train)
 

@@ -40,6 +40,7 @@ class YOLOv4(nn.Module):
     legacy_spp_pools: bool = True
     dtype: Any = jnp.float32
     s2d: Any = True  # space-to-depth stem lowering (see darknet.Backbone)
+    pallas_csp: Any = False  # fused eval CSP stages (see darknet.Backbone)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -50,7 +51,8 @@ class YOLOv4(nn.Module):
         postprocessing or export)."""
         x = x.astype(self.dtype)
         x3, x4, x5 = Backbone(return_pyramid=True, dtype=self.dtype,
-                              s2d=self.s2d, name="backbone")(x, train)
+                              s2d=self.s2d, pallas_csp=self.pallas_csp,
+                              name="backbone")(x, train)
         p1, p2, p3 = Neck(legacy_pools=self.legacy_spp_pools, dtype=self.dtype,
                           name="neck")(x3, x4, x5, train)
         raws = Head(n_classes=self.n_classes, dtype=self.dtype,
@@ -72,6 +74,7 @@ def build_model(cfg: Dict) -> YOLOv4:
         legacy_spp_pools=model_cfg.get("SPP_LEGACY_POOLS", True),
         dtype=dtype,
         s2d=model_cfg.get("S2D_STEM", True),
+        pallas_csp=model_cfg.get("PALLAS_CSP", False),
     )
 
 
