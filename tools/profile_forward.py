@@ -34,7 +34,7 @@ from yolov4_tpu.ops.postprocess import postprocess  # noqa: E402
 
 
 def capture(trace_dir: str, img_size: int, batch: int, with_nms: bool,
-            target: str):
+            target: str, pallas_csp: bool = False):
     rng = np.random.default_rng(0)
     if target == "aug":
         from yolov4_tpu.data.device_aug import augment_batch_impl
@@ -52,6 +52,8 @@ def capture(trace_dir: str, img_size: int, batch: int, with_nms: bool,
         args = (jax.random.PRNGKey(0),)
     else:
         cfg = load_config()
+        if pallas_csp:
+            cfg["MODEL"]["PALLAS_CSP"] = True
         model = build_model(cfg)
         variables = jax.device_put(
             init_variables(model, jax.random.PRNGKey(0), img_size))
@@ -127,9 +129,11 @@ def main():
     p.add_argument("--target", type=str, default="fwd",
                    choices=["fwd", "aug"])
     p.add_argument("--trace-dir", type=str, default="/tmp/yolov4_trace")
+    p.add_argument("--pallas-csp", action="store_true",
+                   help="profile the MODEL.PALLAS_CSP fused-stage forward")
     args = p.parse_args()
     capture(args.trace_dir, args.img_size, args.batch, args.with_nms,
-            args.target)
+            args.target, pallas_csp=args.pallas_csp)
     summarize(args.trace_dir, args.top)
 
 

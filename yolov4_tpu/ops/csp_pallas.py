@@ -78,23 +78,33 @@ def _vmem_bytes(shape: Sequence[int], dtype) -> int:
     return n * subl * lanes * jnp.dtype(dtype).itemsize
 
 
+def _default_budget() -> int:
+    """VMEM planning budget for _pick_th (MB). Larger tiles cut redundant
+    halo compute but risk Mosaic scoped-vmem OOM at compile time; the
+    default was chosen by on-chip sweep (YOLOV4_CSP_VMEM_MB overrides)."""
+    import os
+    return int(os.environ.get("YOLOV4_CSP_VMEM_MB", "11")) * 2 ** 20
+
+
 def _pick_th(h: int, w: int, c: int, c2: int, halo: int, num_blocks: int,
-             dtype, weight_bytes: int, budget: int = 11 * 2 ** 20):
+             dtype, weight_bytes: int, budget: int = 0):
     """Largest valid row-tile height fitting the VMEM budget, or None.
 
     Valid: th divides H, and halo | th (the halo BlockSpec index maps
     need element offsets that are multiples of the halo block height) —
     except th == H, where the halo views are never read."""
+    budget = budget or _default_budget()
     divs = [d for d in range(h, 0, -1)
             if h % d == 0 and (d % halo == 0 or d == h)]
     for th in divs:
         p = th + 4 * halo
-        if num_blocks == 0:  # csp0: x, a, s at C + t at C/2
-            est = (3 * _vmem_bytes((p, w, c), dtype)
-                   + _vmem_bytes((p, w, c2), dtype))
-        else:                # csp: x at C + h, p at C/2
+        cr = _chunk_rows(w)
+        if num_blocks == 0:  # csp0: a at C + t at C/2 + wide
             est = (_vmem_bytes((p, w, c), dtype)
-                   + 2 * _vmem_bytes((p, w, c2), dtype))
+                   + _vmem_bytes((p, w, c2), dtype))
+        else:                # csp: h, p at C/2 + wide
+            est = 2 * _vmem_bytes((p, w, c2), dtype)
+        est += _vmem_bytes((cr, w, 3 * c2), dtype)
         est += 2 * _vmem_bytes((th, w, c), dtype) + weight_bytes
         # the th + 2*halo input views are also double-buffered by Mosaic
         est += 2 * _vmem_bytes((th + 2 * halo, w, c), dtype)
@@ -133,10 +143,31 @@ def _pw(src_ref, dst_ref, rows0: int, n: int, w_ref, b_ref, width: int,
         dst_ref[r0:r0 + m] = y.reshape(m, width, -1).astype(dtype)
 
 
-def _conv3x3_rows(src_ref, rows0: int, n: int, w3_ref, width: int, dtype):
+def _pw_view(src_ref, dst_ref, dst0: int, n: int, w_ref, b_ref,
+             width: int, dtype):
+    """Like _pw but reads a [1, n, W, C] BlockSpec input view, writing its
+    n rows to dst rows [dst0, dst0+n)."""
+    cr = _chunk_rows(width)
+    for a in range(0, n, cr):
+        m = min(cr, n - a)
+        acc = jnp.dot(src_ref[0, a:a + m].reshape(m * width, -1), w_ref[...],
+                      preferred_element_type=jnp.float32)
+        y = _mish(acc + b_ref[0])
+        dst_ref[dst0 + a:dst0 + a + m] = y.reshape(m, width, -1).astype(dtype)
+
+
+def _conv3x3_rows(src_ref, wide_ref, rows0: int, n: int, w3_ref,
+                  width: int, dtype):
     """3x3 same-pad conv over rows [rows0, rows0+n) of src (reads one halo
     row each side; width zero-padded in VMEM) -> f32 [n*W, co]. Keep n
-    small (a row chunk) — the result is a live value."""
+    small (a row chunk) — the result is a live value.
+
+    The three dx taps are packed along channels into ONE dot of K = 3*ci
+    per dy row (w3_ref arrives pre-reshaped [3, 3*ci, co], dx-major) —
+    the kernel is MXU-row-throughput-bound, and 3 wide dots pass 3x fewer
+    rows through the systolic array than 9 narrow ones. The packing goes
+    through the wide_ref scratch because Mosaic cannot lane-concatenate
+    sublane-shifted vectors directly (stores relayout instead)."""
     ci = src_ref.shape[-1]
     acc = None
     for dy in range(3):
@@ -144,45 +175,18 @@ def _conv3x3_rows(src_ref, rows0: int, n: int, w3_ref, width: int, dtype):
         z = jnp.zeros((n, 1, ci), dtype)
         slp = jnp.concatenate([z, sl, z], axis=1)           # [n, W+2, ci]
         for dx in range(3):
-            m = slp[:, dx:dx + width].reshape(n * width, ci)
-            d = jnp.dot(m, w3_ref[dy, dx],
-                        preferred_element_type=jnp.float32)
-            acc = d if acc is None else acc + d
+            wide_ref[:n, :, dx * ci:(dx + 1) * ci] = slp[:, dx:dx + width]
+        d = jnp.dot(wide_ref[:n].reshape(n * width, 3 * ci), w3_ref[dy],
+                    preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
     return acc
-
-
-def _fill_input(x_up, x_main, x_dn, x_buf, *, th: int, halo: int, ext: int,
-                width: int, c: int, dtype):
-    """Assemble the real window [r0-halo, r0+th+halo) into x_buf rows
-    [ext, ext+th+2*halo), zero-filling rows outside the image."""
-    j = pl.program_id(1)
-    last = pl.num_programs(1) - 1
-    zero = jnp.zeros((halo, width, c), dtype)
-
-    @pl.when(j > 0)
-    def _up():
-        x_buf[ext:ext + halo] = x_up[0]
-
-    @pl.when(j == 0)
-    def _up_zero():
-        x_buf[ext:ext + halo] = zero
-
-    x_buf[ext + halo:ext + halo + th] = x_main[0]
-
-    @pl.when(j < last)
-    def _dn():
-        x_buf[ext + halo + th:ext + 2 * halo + th] = x_dn[0]
-
-    @pl.when(j == last)
-    def _dn_zero():
-        x_buf[ext + halo + th:ext + 2 * halo + th] = zero
 
 
 def _zero_oob(buf, *, th: int, halo: int, ext: int, width: int, cdim: int,
               dtype):
     """Zero the real-window rows that fall outside the image (the first/
     last tile's window extends `halo` rows past the image edge, and the
-    pointwise ops write mish(bias) != 0 there — a 3x3 consuming the
+    pointwise ops write nonzero values there — a 3x3 consuming the
     buffer must see the conv's zero padding instead)."""
     j = pl.program_id(1)
     last = pl.num_programs(1) - 1
@@ -199,49 +203,46 @@ def _zero_oob(buf, *, th: int, halo: int, ext: int, width: int, cdim: int,
 
 def _csp0_kernel(x_up, x_main, x_dn, w211, b211, w2120, b2120, w3, b3,
                  w22, b22, w1, b1, wt, bt, out_ref,
-                 x_buf, a_buf, t_buf, s_buf,
+                 a_buf, t_buf, wide_buf,
                  *, width: int, c: int, th: int, halo: int, ext: int,
                  dtype):
     r = th + 2 * halo
 
     @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
     def _zero():
-        x_buf[...] = jnp.zeros_like(x_buf)
         a_buf[...] = jnp.zeros_like(a_buf)
         t_buf[...] = jnp.zeros_like(t_buf)
-        s_buf[...] = jnp.zeros_like(s_buf)
 
-    _fill_input(x_up, x_main, x_dn, x_buf, th=th, halo=halo, ext=ext,
-                width=width, c=c, dtype=dtype)
     cr = _chunk_rows(width)
 
-    # a = cba(x, part2_1_1); t = cba(a, part2_1_2_0)   (full real window)
-    _pw(x_buf, a_buf, ext, r, w211, b211, width, dtype)
+    # a = cba(x, part2_1_1) straight from the three input views (at image
+    # edges the halo views hold clamped duplicates — harmless: every 3x3
+    # input is zero-masked at out-of-image rows, and nothing else reads
+    # them); t = cba(a, part2_1_2_0) over the full real window
+    _pw_view(x_up, a_buf, ext, halo, w211, b211, width, dtype)
+    _pw_view(x_main, a_buf, ext + halo, th, w211, b211, width, dtype)
+    _pw_view(x_dn, a_buf, ext + halo + th, halo, w211, b211, width, dtype)
     _pw(a_buf, t_buf, ext, r, w2120, b2120, width, dtype)
     _zero_oob(t_buf, th=th, halo=halo, ext=ext, width=width,
               cdim=t_buf.shape[-1], dtype=dtype)
-    # s = a + cba3(t)
-    for a in range(0, r, cr):
-        m = min(cr, r - a)
-        u = _mish(_conv3x3_rows(t_buf, ext + a, m, w3, width, dtype)
-                  + b3[0])
-        s_buf[ext + a:ext + a + m] = (
-            a_buf[ext + a:ext + a + m]
-            + u.reshape(m, width, c).astype(dtype))
-    # tail on the tile's output rows only (static: buffer rows ext+halo..)
+    # tail on the tile's output rows only (static: buffer rows ext+halo..):
+    # s = a + cba3(t); x2 = cba(s); out = cba(concat(x2, x1(x))) fuse into
+    # one chunked pass with no s buffer
     o0 = ext + halo
     for a in range(0, th, cr):
         m = min(cr, th - a)
-        x2 = _mish(jnp.dot(s_buf[o0 + a:o0 + a + m].reshape(m * width, c),
-                           w22[...], preferred_element_type=jnp.float32)
-                   + b22[0])
-        x1 = _mish(jnp.dot(x_buf[o0 + a:o0 + a + m].reshape(m * width, c),
+        u = _mish(_conv3x3_rows(t_buf, wide_buf, o0 + a, m, w3, width,
+                                dtype) + b3[0])
+        s = (a_buf[o0 + a:o0 + a + m].astype(jnp.float32)
+             .reshape(m * width, c) + u)
+        x2 = _mish(jnp.dot(s.astype(dtype), w22[...],
+                           preferred_element_type=jnp.float32) + b22[0])
+        x1 = _mish(jnp.dot(x_main[0, a:a + m].reshape(m * width, c),
                            w1[...], preferred_element_type=jnp.float32)
                    + b1[0])
-        out = _mish(jnp.dot(x2.astype(dtype), wt[:c],
-                            preferred_element_type=jnp.float32)
-                    + jnp.dot(x1.astype(dtype), wt[c:],
-                              preferred_element_type=jnp.float32) + bt[0])
+        cat = jnp.concatenate([x2, x1], axis=-1).astype(dtype)
+        out = _mish(jnp.dot(cat, wt[...],
+                            preferred_element_type=jnp.float32) + bt[0])
         out_ref[0, a:a + m] = out.reshape(m, width, c).astype(dtype)
 
 
@@ -249,21 +250,21 @@ def _csp_kernel(x_up, x_main, x_dn, *refs, width: int, c: int, c2: int,
                 num_blocks: int, th: int, halo: int, ext: int, dtype):
     (w1, b1, w20, b20), wb = refs[:4], refs[4:4 + 4 * num_blocks]
     w22, b22, wt, bt = refs[4 + 4 * num_blocks:4 + 4 * num_blocks + 4]
-    out_ref, x_buf, h_buf, p_buf = refs[4 + 4 * num_blocks + 4:]
+    out_ref, h_buf, p_buf, wide_buf = refs[4 + 4 * num_blocks + 4:]
     r = th + 2 * halo
 
     @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
     def _zero():
-        x_buf[...] = jnp.zeros_like(x_buf)
         h_buf[...] = jnp.zeros_like(h_buf)
         p_buf[...] = jnp.zeros_like(p_buf)
 
-    _fill_input(x_up, x_main, x_dn, x_buf, th=th, halo=halo, ext=ext,
-                width=width, c=c, dtype=dtype)
     cr = _chunk_rows(width)
 
-    # h = cba(x, part2_0)
-    _pw(x_buf, h_buf, ext, r, w20, b20, width, dtype)
+    # h = cba(x, part2_0) straight from the three input views (see
+    # _csp0_kernel on why clamped edge duplicates are harmless)
+    _pw_view(x_up, h_buf, ext, halo, w20, b20, width, dtype)
+    _pw_view(x_main, h_buf, ext + halo, th, w20, b20, width, dtype)
+    _pw_view(x_dn, h_buf, ext + halo + th, halo, w20, b20, width, dtype)
     for i in range(num_blocks):
         wi0, bi0, wi3, bi3 = wb[4 * i:4 * i + 4]
         _pw(h_buf, p_buf, ext, r, wi0, bi0, width, dtype)
@@ -271,8 +272,8 @@ def _csp_kernel(x_up, x_main, x_dn, *refs, width: int, c: int, c2: int,
                   dtype=dtype)
         for a in range(0, r, cr):
             m = min(cr, r - a)
-            q = _mish(_conv3x3_rows(p_buf, ext + a, m, wi3, width, dtype)
-                      + bi3[0])
+            q = _mish(_conv3x3_rows(p_buf, wide_buf, ext + a, m, wi3,
+                                    width, dtype) + bi3[0])
             h_buf[ext + a:ext + a + m] = (
                 h_buf[ext + a:ext + a + m]
                 + q.reshape(m, width, c2).astype(dtype))
@@ -282,19 +283,24 @@ def _csp_kernel(x_up, x_main, x_dn, *refs, width: int, c: int, c2: int,
         x2 = _mish(jnp.dot(h_buf[o0 + a:o0 + a + m].reshape(m * width, c2),
                            w22[...], preferred_element_type=jnp.float32)
                    + b22[0])
-        x1 = _mish(jnp.dot(x_buf[o0 + a:o0 + a + m].reshape(m * width, c),
+        x1 = _mish(jnp.dot(x_main[0, a:a + m].reshape(m * width, c),
                            w1[...], preferred_element_type=jnp.float32)
                    + b1[0])
-        out = _mish(jnp.dot(x2.astype(dtype), wt[:c2],
-                            preferred_element_type=jnp.float32)
-                    + jnp.dot(x1.astype(dtype), wt[c2:],
-                              preferred_element_type=jnp.float32) + bt[0])
+        cat = jnp.concatenate([x2, x1], axis=-1).astype(dtype)
+        out = _mish(jnp.dot(cat, wt[...],
+                            preferred_element_type=jnp.float32) + bt[0])
         out_ref[0, a:a + m] = out.reshape(m, width, c).astype(dtype)
 
 
 def _as_1x1(w: jnp.ndarray, dtype) -> jnp.ndarray:
     """[1,1,ci,co] folded kernel -> [ci, co] in compute dtype."""
     return w.reshape(w.shape[-2], w.shape[-1]).astype(dtype)
+
+
+def _as_3x3(w: jnp.ndarray, dtype) -> jnp.ndarray:
+    """[3,3,ci,co] folded kernel -> [3, 3*ci, co] (dx-major rows), the
+    layout _conv3x3_rows' dx-concatenated dots consume."""
+    return w.reshape(3, 3 * w.shape[-2], w.shape[-1]).astype(dtype)
 
 
 def _as_bias(b: jnp.ndarray) -> jnp.ndarray:
@@ -332,7 +338,7 @@ def fused_csp_stage(x: jnp.ndarray, folded: Dict[str, Tuple[jnp.ndarray,
             _as_bias(folded["part2_1_1"][1]),
             _as_1x1(folded["part2_1_2_0"][0], dtype),
             _as_bias(folded["part2_1_2_0"][1]),
-            folded["part2_1_2_1"][0].astype(dtype),           # [3,3,c2,c]
+            _as_3x3(folded["part2_1_2_1"][0], dtype),         # [3,3c2,c]
             _as_bias(folded["part2_1_2_1"][1]),
             _as_1x1(folded["part2_2"][0], dtype),
             _as_bias(folded["part2_2"][1]),
@@ -352,7 +358,7 @@ def fused_csp_stage(x: jnp.ndarray, folded: Dict[str, Tuple[jnp.ndarray,
             weights += [
                 _as_1x1(folded[f"block{i}_0"][0], dtype),
                 _as_bias(folded[f"block{i}_0"][1]),
-                folded[f"block{i}_1"][0].astype(dtype),       # [3,3,c2,c2]
+                _as_3x3(folded[f"block{i}_1"][0], dtype),     # [3,3c2,c2]
                 _as_bias(folded[f"block{i}_1"][1]),
             ]
         weights += [
@@ -376,19 +382,18 @@ def fused_csp_stage(x: jnp.ndarray, folded: Dict[str, Tuple[jnp.ndarray,
         kernel = functools.partial(_csp0_kernel, width=width, c=c,
                                    th=th, halo=halo, ext=ext, dtype=dtype)
         scratch = [
-            pltpu.VMEM((p, width, c), dtype),    # x_buf
             pltpu.VMEM((p, width, c), dtype),    # a_buf
             pltpu.VMEM((p, width, c2), dtype),   # t_buf
-            pltpu.VMEM((p, width, c), dtype),    # s_buf
+            pltpu.VMEM((_chunk_rows(width), width, 3 * c2), dtype),
         ]
     else:
         kernel = functools.partial(_csp_kernel, width=width, c=c,
                                    c2=c2, num_blocks=num_blocks, th=th,
                                    halo=halo, ext=ext, dtype=dtype)
         scratch = [
-            pltpu.VMEM((p, width, c), dtype),    # x_buf
             pltpu.VMEM((p, width, c2), dtype),   # h_buf
             pltpu.VMEM((p, width, c2), dtype),   # p_buf
+            pltpu.VMEM((_chunk_rows(width), width, 3 * c2), dtype),
         ]
 
     # three views of x: the tile itself plus halo-row windows above/below
