@@ -85,3 +85,31 @@ def test_bf16_compute_path():
     out = model.apply(variables, jnp.zeros((1, 32, 32, 3)), train=False)
     # decode always promotes to f32 for box math
     assert out.dtype == jnp.float32
+
+
+def test_maxpool_custom_vjp_matches_xla_gradient():
+    """maxpool_same's hand-written backward (shifted equality masks; the
+    select_and_scatter lowering it replaces cost 17% of the train step)
+    must match XLA's native pooling gradient wherever ties don't occur —
+    continuous random floats make ties impossible."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+
+    from yolov4_tpu.models.neck import maxpool_same
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (2, 19, 19, 8)), jnp.float32)
+
+    def ref_pool(x, size):
+        pad = size // 2
+        return nn.max_pool(x, (size, size), (1, 1), [(pad, pad), (pad, pad)])
+
+    for size in (5, 9, 13):
+        np.testing.assert_array_equal(
+            np.asarray(maxpool_same(x, size)), np.asarray(ref_pool(x, size)))
+        g_new = jax.grad(lambda v: (maxpool_same(v, size) ** 2).sum())(x)
+        g_ref = jax.grad(lambda v: (ref_pool(v, size) ** 2).sum())(x)
+        np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                                   rtol=1e-6, atol=1e-6)

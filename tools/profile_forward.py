@@ -50,6 +50,39 @@ def capture(trace_dir: str, img_size: int, batch: int, with_nms: bool,
             return augment_batch_impl(key, canv, boxes, size=img_size)
 
         args = (jax.random.PRNGKey(0),)
+    elif target == "train":
+        from yolov4_tpu.ops.loss import build_criterion
+        from yolov4_tpu.optim import build_lr_schedule, build_optimizer
+        from yolov4_tpu.parallel import (create_mesh, create_train_state,
+                                         make_train_step)
+
+        cfg = load_config()
+        model = build_model(cfg)
+        variables = init_variables(model, jax.random.PRNGKey(0), img_size)
+        criterion = build_criterion(cfg)
+        tx = build_optimizer(cfg, variables["params"])
+        sched = build_lr_schedule(cfg, len_epoch=100)
+        mesh = create_mesh(jax.devices()[:1])
+        step = make_train_step(model, criterion, tx, sched, mesh,
+                               img_size=img_size)
+        state = create_train_state(variables, tx)
+        labels = np.zeros((batch, 60, 5), np.float32)
+        labels[:, 0] = [100, 100, 40, 40, 3]
+        flat = jnp.asarray(rng.random((batch, img_size * img_size * 3)),
+                           jnp.float32)
+        labels = jnp.asarray(labels)
+
+        # the step donates state; thread it through the timing loop
+        class _Step:
+            def __init__(self, st):
+                self.st = st
+
+            def __call__(self, *_):
+                self.st = step(self.st, flat, labels)
+                return self.st
+
+        f = _Step(state)
+        args = ()
     else:
         cfg = load_config()
         if pallas_csp:
@@ -127,7 +160,7 @@ def main():
     p.add_argument("--top", type=int, default=25)
     p.add_argument("--with-nms", action="store_true")
     p.add_argument("--target", type=str, default="fwd",
-                   choices=["fwd", "aug"])
+                   choices=["fwd", "aug", "train"])
     p.add_argument("--trace-dir", type=str, default="/tmp/yolov4_trace")
     p.add_argument("--pallas-csp", action="store_true",
                    help="profile the MODEL.PALLAS_CSP fused-stage forward")

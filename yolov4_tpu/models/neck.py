@@ -12,8 +12,10 @@ which are numerically identical for integer upscale factors.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -27,13 +29,53 @@ def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, h * 2, w * 2, c)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def maxpool_same(x: jnp.ndarray, size: int) -> jnp.ndarray:
-    """Stride-1 max pooling with same padding (torch MaxPool2d(k, 1, k//2))."""
+    """Stride-1 max pooling with same padding (torch MaxPool2d(k, 1, k//2)).
+
+    Custom VJP: XLA's default max-pool gradient lowers to
+    select_and_scatter, which measured 11.8 ms/step at 608/b8 — 17% of
+    the whole train step — for the three tiny 19^2 SPP pools. The
+    backward here is size^2 shifted equality-masked adds (microseconds at
+    these shapes). Tie semantics differ from select_and_scatter/torch
+    only when two window elements are bit-equal: the gradient then flows
+    to ALL maximal positions instead of the first — irrelevant for
+    training, and the forward is bit-identical."""
+    return _maxpool_impl(x, size)
+
+
+def _maxpool_impl(x, size):
     pad = size // 2
     return nn.max_pool(
         x, window_shape=(size, size), strides=(1, 1),
         padding=[(pad, pad), (pad, pad)],
     )
+
+
+def _maxpool_same_fwd(x, size):
+    y = _maxpool_impl(x, size)
+    return y, (x, y)
+
+
+def _maxpool_same_bwd(size, res, g):
+    x, y = res
+    pad = size // 2
+    h, w = x.shape[1], x.shape[2]
+    # pad y with +inf (never equals an x element) and g with 0
+    yp = jnp.pad(y, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                 constant_values=jnp.inf)
+    gp = jnp.pad(g, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    acc = None
+    for dy in range(size):
+        for dx in range(size):
+            ys = yp[:, dy:dy + h, dx:dx + w]
+            gs = gp[:, dy:dy + h, dx:dx + w]
+            c = jnp.where(x == ys, gs, jnp.zeros_like(gs))
+            acc = c if acc is None else acc + c
+    return (acc,)
+
+
+maxpool_same.defvjp(_maxpool_same_fwd, _maxpool_same_bwd)
 
 
 class SPPBlock(nn.Module):
