@@ -113,3 +113,22 @@ def test_maxpool_custom_vjp_matches_xla_gradient():
         g_ref = jax.grad(lambda v: (ref_pool(v, size) ** 2).sum())(x)
         np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_maxpool_vjp_splits_ties_and_conserves_mass():
+    """On exact ties the custom backward splits each window's gradient
+    equally among its maxima (a valid subgradient): total gradient mass
+    equals the number of windows for a sum-loss, even with heavy ties."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yolov4_tpu.models.neck import maxpool_same
+
+    x = jnp.ones((1, 7, 7, 2), jnp.float32)  # all-ties everywhere
+    g = jax.grad(lambda v: maxpool_same(v, 5).sum())(x)
+    # each of the 49*2 windows distributes exactly 1.0 of gradient in
+    # total (the all-ties gradient without splitting would sum to
+    # 49*2*window_elements instead)
+    np.testing.assert_allclose(float(np.asarray(g).sum()), 7 * 7 * 2,
+                               rtol=1e-6)

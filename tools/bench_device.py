@@ -69,10 +69,14 @@ def main():
             return model.apply(variables, x, train=False)
         return jax.jit(f)
 
-    if {"fwd", "fwd_nms"} & set(parts):
+    # one model + parameter upload shared by every eval-forward part
+    model = variables = None
+    if {"fwd", "fwd_nms", "topk"} & set(parts):
         model = build_model(cfg)
         variables = jax.device_put(
             init_variables(model, jax.random.PRNGKey(0), size))
+
+    if {"fwd", "fwd_nms"} & set(parts):
         f = fwd_fn(model, variables)
         if "fwd" in parts:
             results["fwd+decode (s2d)"] = timed(f, (imgs,), args.iters)
@@ -89,12 +93,13 @@ def main():
         import yolov4_tpu.models.yolov4 as y4
         from yolov4_tpu.models.darknet import Backbone  # noqa: F401
         cfg_plain = load_config()
-        model = build_model(cfg_plain)
+        model_p = build_model(cfg_plain)
         # rebuild with s2d disabled via the model's backbone flag
-        model = model.clone(s2d=False) if hasattr(model, "s2d") else model
-        variables = jax.device_put(
-            init_variables(model, jax.random.PRNGKey(0), size))
-        f = fwd_fn(model, variables)
+        model_p = (model_p.clone(s2d=False)
+                   if hasattr(model_p, "s2d") else model_p)
+        variables_p = jax.device_put(
+            init_variables(model_p, jax.random.PRNGKey(0), size))
+        f = fwd_fn(model_p, variables_p)
         results["fwd+decode (plain)"] = timed(f, (imgs,), args.iters)
 
     if "aug" in parts:
@@ -106,10 +111,10 @@ def main():
 
         s, tb = 320, 8
         cfg_t = load_config()
-        model = build_model(cfg_t)
-        variables = init_variables(model, jax.random.PRNGKey(0), s)
+        model_t = build_model(cfg_t)
+        variables_t = init_variables(model_t, jax.random.PRNGKey(0), s)
         criterion = build_criterion(cfg_t)
-        tx = build_optimizer(cfg_t, variables["params"])
+        tx = build_optimizer(cfg_t, variables_t["params"])
         sched = build_lr_schedule(cfg_t, len_epoch=100)
         mesh = create_mesh(jax.devices()[:1])
 
@@ -127,10 +132,10 @@ def main():
             return (time.time() - t0) / iters * 1000.0, state
 
         # the step donates its state: give each variant its own buffer copy
-        vars_a = jax.tree.map(jnp.copy, variables)
-        vars_b = jax.tree.map(jnp.copy, variables)
+        vars_a = jax.tree.map(jnp.copy, variables_t)
+        vars_b = jax.tree.map(jnp.copy, variables_t)
 
-        plain_step = make_train_step(model, criterion, tx, sched, mesh,
+        plain_step = make_train_step(model_t, criterion, tx, sched, mesh,
                                      img_size=s)
         flat = jnp.asarray(rng.random((tb, s * s * 3)), jnp.float32)
 
@@ -140,7 +145,7 @@ def main():
                    "exposure": aug["EXPOSURE"],
                    "min_offset": aug["MIN_OFFSET"], "flip": True,
                    "dither": True}
-        aug_step = make_train_step(model, criterion, tx, sched, mesh,
+        aug_step = make_train_step(model_t, criterion, tx, sched, mesh,
                                    img_size=s, device_aug=dev_aug)
         canv = jnp.asarray(
             rng.integers(0, 255, (tb, 4 * 3 * s * s)), jnp.uint8)
@@ -172,9 +177,6 @@ def main():
     if "topk" in parts:
         # exact vs approx_max_k candidate selection, INTERLEAVED paired
         # windows (full fwd+decode+NMS program both sides)
-        model = build_model(cfg)
-        variables = jax.device_put(
-            init_variables(model, jax.random.PRNGKey(0), size))
 
         def full_fn(approx):
             @jax.jit

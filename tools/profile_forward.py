@@ -165,6 +165,8 @@ def main():
     p.add_argument("--pallas-csp", action="store_true",
                    help="profile the MODEL.PALLAS_CSP fused-stage forward")
     args = p.parse_args()
+    if args.pallas_csp and args.target != "fwd":
+        p.error("--pallas-csp only applies to --target fwd")
     capture(args.trace_dir, args.img_size, args.batch, args.with_nms,
             args.target, pallas_csp=args.pallas_csp)
     summarize(args.trace_dir, args.top)

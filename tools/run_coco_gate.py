@@ -39,16 +39,26 @@ CKPT_CANDIDATES = [
 
 
 def find_data(explicit):
+    """Root with annotations/instances_val2017.json + images/val2017 (the
+    layout COCODataset loads, data/coco.py). A root in the stock
+    distribution layout (val2017/ directly under the root) is reported
+    with a remediation hint rather than silently accepted — the eval
+    would otherwise crash mid-run on missing image paths."""
     roots = [explicit] if explicit else []
     roots += [os.environ.get("COCO_ROOT", "")] + DATA_CANDIDATES
     for root in roots:
         if not root:
             continue
         ann = os.path.join(root, "annotations", "instances_val2017.json")
-        imgs = os.path.join(root, "images", "val2017")
-        alt_imgs = os.path.join(root, "val2017")
-        if os.path.isfile(ann) and (os.path.isdir(imgs) or os.path.isdir(alt_imgs)):
+        if not os.path.isfile(ann):
+            continue
+        if os.path.isdir(os.path.join(root, "images", "val2017")):
             return root
+        if os.path.isdir(os.path.join(root, "val2017")):
+            print(f"NOTE: {root} has val2017/ at the top level; "
+                  f"COCODataset needs images/val2017 — create it, e.g.\n"
+                  f"  mkdir -p {root}/images && "
+                  f"ln -s {root}/val2017 {root}/images/val2017")
     return None
 
 

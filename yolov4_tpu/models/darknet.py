@@ -48,8 +48,8 @@ class Backbone(nn.Module):
         d, bx = self.dtype, self.bn_axis
         fused = self.pallas_csp
         if fused == "auto":
-            import jax as _jax
-            fused = _jax.default_backend() == "tpu"
+            import jax
+            fused = jax.default_backend() == "tpu"
         fused = bool(fused) and not train
         mode = {False: "none", True: "fused"}.get(self.s2d, self.s2d)
         even = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0

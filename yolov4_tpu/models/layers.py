@@ -389,7 +389,7 @@ class CSPDownSample0(nn.Module):
         from yolov4_tpu.ops.csp_pallas import (fused_csp_stage,
                                                fused_csp_supported)
         if (self.fused and not train and self.act == "mish"
-                and fused_csp_supported(x.shape, 0)):
+                and fused_csp_supported(x.shape, 0, dtype=x.dtype)):
             folded = {
                 "part1": FoldedConvBN(c, c, 1, name="part1")(),
                 "part2_1_1": FoldedConvBN(c, c, 1, name="part2_1_1")(),
@@ -400,10 +400,9 @@ class CSPDownSample0(nn.Module):
                 "part2_2": FoldedConvBN(c, c, 1, name="part2_2")(),
                 "transition": FoldedConvBN(2 * c, c, 1, name="transition")(),
             }
-            import jax as _jax
             return fused_csp_stage(
                 x, folded, num_blocks=0,
-                interpret=_jax.default_backend() != "tpu")
+                interpret=jax.default_backend() != "tpu")
 
         x1 = ConvBNAct(c, 1, 1, act=a, dtype=d, bn_axis=bx, name="part1")(x, train)
 
@@ -442,7 +441,8 @@ class CSPDownSample(nn.Module):
                                                fused_csp_supported)
         if (self.fused and not train and self.act == "mish"
                 and self.shortcut
-                and fused_csp_supported(x.shape, self.num_blocks)):
+                and fused_csp_supported(x.shape, self.num_blocks,
+                                        dtype=x.dtype)):
             c2 = c // 2
             folded = {
                 "part1": FoldedConvBN(c, c2, 1, name="part1")(),
@@ -454,10 +454,9 @@ class CSPDownSample(nn.Module):
             for i in range(self.num_blocks):
                 folded[f"block{i}_0"] = blocks[2 * i]
                 folded[f"block{i}_1"] = blocks[2 * i + 1]
-            import jax as _jax
             return fused_csp_stage(
                 x, folded, num_blocks=self.num_blocks,
-                interpret=_jax.default_backend() != "tpu")
+                interpret=jax.default_backend() != "tpu")
 
         x1 = ConvBNAct(c // 2, 1, 1, act=a, dtype=d, bn_axis=bx, name="part1")(x, train)
 

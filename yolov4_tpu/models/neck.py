@@ -38,9 +38,11 @@ def maxpool_same(x: jnp.ndarray, size: int) -> jnp.ndarray:
     the whole train step — for the three tiny 19^2 SPP pools. The
     backward here is size^2 shifted equality-masked adds (microseconds at
     these shapes). Tie semantics differ from select_and_scatter/torch
-    only when two window elements are bit-equal: the gradient then flows
-    to ALL maximal positions instead of the first — irrelevant for
-    training, and the forward is bit-identical."""
+    only when two window elements are bit-equal (not rare under bf16
+    compute): each window's gradient is then SPLIT EQUALLY among its
+    maximal positions — a valid subgradient preserving total gradient
+    mass — where torch routes all of it to the first. The forward is
+    bit-identical."""
     return _maxpool_impl(x, size)
 
 
@@ -61,10 +63,21 @@ def _maxpool_same_bwd(size, res, g):
     x, y = res
     pad = size // 2
     h, w = x.shape[1], x.shape[2]
-    # pad y with +inf (never equals an x element) and g with 0
+    # ties per window: count input positions equal to the window max
+    # (x padded with -inf never equals a max)
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                 constant_values=-jnp.inf)
+    cnt = None
+    for dy in range(size):
+        for dx in range(size):
+            eq = (xp[:, dy:dy + h, dx:dx + w] == y).astype(jnp.float32)
+            cnt = eq if cnt is None else cnt + eq
+    gn = (g.astype(jnp.float32) / cnt).astype(g.dtype)
+    # scatter: dL/dx[q] = sum over windows p containing q of
+    # (g[p]/ties[p]) * [x[q] == y[p]]  (y padded with +inf, g with 0)
     yp = jnp.pad(y, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
                  constant_values=jnp.inf)
-    gp = jnp.pad(g, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    gp = jnp.pad(gn, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
     acc = None
     for dy in range(size):
         for dx in range(size):

@@ -113,15 +113,32 @@ def _pick_th(h: int, w: int, c: int, c2: int, halo: int, num_blocks: int,
     return None
 
 
-def fused_csp_supported(shape, num_blocks: int, force_th: int = 0) -> bool:
-    """Whether fused_csp_stage can run for this input shape/topology."""
+def _weight_vmem_bytes(c: int, num_blocks: int, dtype) -> int:
+    """Exact VMEM footprint of a stage's folded conv kernels (biases are
+    negligible). Must mirror the weights list in fused_csp_stage."""
+    c2 = c // 2
+    if num_blocks == 0:
+        shapes = [(c, c), (c, c2), (3, 3 * c2, c), (c, c), (c, c),
+                  (2 * c, c)]
+    else:
+        shapes = [(c, c2), (c, c2), (c2, c2), (c, c)]
+        shapes += [(c2, c2), (3, 3 * c2, c2)] * num_blocks
+    return sum(_vmem_bytes(s, dtype) for s in shapes)
+
+
+def fused_csp_supported(shape, num_blocks: int, force_th: int = 0,
+                        dtype=jnp.bfloat16) -> bool:
+    """Whether fused_csp_stage can run for this input shape/topology/dtype.
+
+    Must agree with fused_csp_stage's own _pick_th call (same dtype and
+    the exact weight footprint), or a passing gate can still raise at
+    trace time instead of falling back to the plain path."""
     _, h, w, c = shape
     halo = max(1, num_blocks)
     if force_th:
         return h % force_th == 0 and (force_th % halo == 0 or force_th == h)
-    # weight bytes bounded by the largest supported stage (stage3 ~3 MB)
-    return _pick_th(h, w, c, c // 2, halo, num_blocks, jnp.bfloat16,
-                    3 * 2 ** 20) is not None
+    return _pick_th(h, w, c, c // 2, halo, num_blocks, dtype,
+                    _weight_vmem_bytes(c, num_blocks, dtype)) is not None
 
 
 def _chunk_rows(width: int) -> int:
