@@ -131,3 +131,29 @@ def test_folded_conv_bn_matches_conv_then_bn(rng):
     from yolov4_tpu.models.layers import mish
     np.testing.assert_allclose(np.asarray(mish(conv + b)), np.asarray(y0),
                                rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("size", [256, 320, 416, 512, 608])
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_fused_gate_never_raises_at_trace_time(size, dtype):
+    """The supported() gate and fused_csp_stage's internal tile search
+    must agree for every size/dtype: a passing gate that still raises
+    ValueError at trace time would crash the whole model apply instead
+    of falling back (found in review for float32 at 512). eval_shape
+    traces the full fused model without running it."""
+    from yolov4_tpu.config import load_config
+    from yolov4_tpu.models import build_model
+
+    cfg = load_config()
+    cfg["MODEL"]["COMPUTE_DTYPE"] = dtype
+    cfg["MODEL"]["PALLAS_CSP"] = True
+    model = build_model(cfg)
+
+    x = jax.ShapeDtypeStruct((2, size, size, 3), jnp.float32)
+    v = jax.eval_shape(
+        lambda r, d: model.init({"params": r}, d, train=False),
+        jax.ShapeDtypeStruct((2,), jnp.uint32), x)
+    out = jax.eval_shape(
+        lambda v, d: model.apply(v, d, train=False), v, x)
+    n = sum(3 * (size // s) ** 2 for s in (8, 16, 32))
+    assert out.shape == (2, n, 85)
