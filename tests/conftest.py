@@ -17,11 +17,17 @@ if "collective_call_terminate_timeout" not in _flags:
     _flags += " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
 os.environ["XLA_FLAGS"] = _flags
 
-import jax  # noqa: E402
+os.environ.setdefault("YOLOV4_TPU_PLATFORM", "cpu")
 
-# The environment's TPU plugin ignores JAX_PLATFORMS=cpu from the env;
-# forcing via config works.
-jax.config.update("jax_platforms", "cpu")
+# setup_jax: forces the CPU platform (the TPU plugin ignores
+# JAX_PLATFORMS=cpu from the env) and enables the persistent compilation
+# cache under a per-machine CPU subdirectory, so suite reruns on the same
+# box skip recompiles (the full suite is compile-dominated).
+from yolov4_tpu.utils.jax_setup import setup_jax  # noqa: E402
+
+setup_jax()
+
+import jax  # noqa: E402
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -64,9 +64,13 @@ def main():
 
     results = {}
 
-    def fwd_fn(model, variables):
-        def f(x):
-            return model.apply(variables, x, train=False)
+    def fwd_fn(model):
+        # variables as a jit ARGUMENT, not a closure: closed-over weights
+        # get baked into the executable as constants, and the persistent
+        # cache then serializes ~550 MB per entry (measured; the round-2
+        # .jax_cache grew to 9.8 GB from these tool programs alone).
+        def f(v, x):
+            return model.apply(v, x, train=False)
         return jax.jit(f)
 
     # one model + parameter upload shared by every eval-forward part
@@ -77,17 +81,19 @@ def main():
             init_variables(model, jax.random.PRNGKey(0), size))
 
     if {"fwd", "fwd_nms"} & set(parts):
-        f = fwd_fn(model, variables)
+        f = fwd_fn(model)
         if "fwd" in parts:
-            results["fwd+decode (s2d)"] = timed(f, (imgs,), args.iters)
+            results["fwd+decode (s2d)"] = timed(f, (variables, imgs),
+                                                args.iters)
 
         if "fwd_nms" in parts:
             @jax.jit
-            def full(x):
-                preds = model.apply(variables, x, train=False)
+            def full(v, x):
+                preds = model.apply(v, x, train=False)
                 return postprocess(preds, 80, args.conf_thre, 0.4,
                                    pre_nms_topk=2048, max_dets=100)
-            results["fwd+decode+NMS (s2d)"] = timed(full, (imgs,), args.iters)
+            results["fwd+decode+NMS (s2d)"] = timed(full, (variables, imgs),
+                                                    args.iters)
 
     if "fwd_plain" in parts:
         import yolov4_tpu.models.yolov4 as y4
@@ -99,8 +105,9 @@ def main():
                    if hasattr(model_p, "s2d") else model_p)
         variables_p = jax.device_put(
             init_variables(model_p, jax.random.PRNGKey(0), size))
-        f = fwd_fn(model_p, variables_p)
-        results["fwd+decode (plain)"] = timed(f, (imgs,), args.iters)
+        f = fwd_fn(model_p)
+        results["fwd+decode (plain)"] = timed(f, (variables_p, imgs),
+                                              args.iters)
 
     if "aug" in parts:
         # VERDICT gate: device-aug train step <= 1.3x the no-aug step @320/b8
@@ -180,21 +187,21 @@ def main():
 
         def full_fn(approx):
             @jax.jit
-            def full(x):
-                preds = model.apply(variables, x, train=False)
+            def full(v, x):
+                preds = model.apply(v, x, train=False)
                 return postprocess(preds, 80, args.conf_thre, 0.4,
                                    pre_nms_topk=2048, max_dets=100,
                                    topk_approx=approx)
             return full
 
         f_exact, f_approx = full_fn(False), full_fn(True)
-        jax.block_until_ready(f_exact(imgs))
-        jax.block_until_ready(f_approx(imgs))
+        jax.block_until_ready(f_exact(variables, imgs))
+        jax.block_until_ready(f_approx(variables, imgs))
 
         def one_window(f, iters):
             t0 = time.time()
             for _ in range(iters):
-                out = f(imgs)
+                out = f(variables, imgs)
             jax.block_until_ready(out)
             return (time.time() - t0) / iters * 1000.0
 

@@ -53,8 +53,11 @@ def main():
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.random((b, size, size, 3)), jnp.float32)
 
-    f_plain = jax.jit(lambda x: plain.apply(variables, x, train=False))
-    f_fused = jax.jit(lambda x: fused.apply(variables, x, train=False))
+    # variables as args (closures bake weights into half-GB cache entries)
+    fp = jax.jit(lambda v, x: plain.apply(v, x, train=False))
+    ff = jax.jit(lambda v, x: fused.apply(v, x, train=False))
+    f_plain = lambda x: fp(variables, x)
+    f_fused = lambda x: ff(variables, x)
 
     t0 = time.time()
     y0 = jax.block_until_ready(f_plain(imgs))

@@ -93,15 +93,17 @@ def capture(trace_dir: str, img_size: int, batch: int, with_nms: bool,
         imgs = jnp.asarray(rng.random((batch, img_size, img_size, 3)),
                            jnp.float32)
 
+        # variables as a jit ARG (closures bake weights into the cached
+        # executable: ~550 MB per persistent-cache entry, measured r2)
         @jax.jit
-        def f(x):
-            preds = model.apply(variables, x, train=False)
+        def f(v, x):
+            preds = model.apply(v, x, train=False)
             if with_nms:
                 return postprocess(preds, 80, 0.005, 0.4,
                                    pre_nms_topk=2048, max_dets=100)
             return preds
 
-        args = (imgs,)
+        args = (variables, imgs)
 
     import time
     jax.block_until_ready(f(*args))  # compile outside the trace

@@ -83,7 +83,17 @@ def main():
     parser.add_argument("--pre-nms-topk", type=int, default=2048,
                         help="AP-identical to 8192 at these settings "
                              "(tests/test_eval_protocol.py ablation)")
-    parser.add_argument("--max-dets", type=int, default=300)
+    parser.add_argument("--max-dets", type=int, default=1024,
+                        help="with TEST.CAT_CAP=100 (default), rows that "
+                             "can never affect pycocotools' per-(image,"
+                             "category) top-100 scoring are dropped first, "
+                             "making 1024 EXACTLY equal to the reference's "
+                             "unlimited rows whenever <=1024 relevant rows "
+                             "exist per image — the eval logs overflow if "
+                             "that ever fails (test_cat_cap_selection_"
+                             "semantics: plain per-image caps measured "
+                             "-0.106/-0.048 AP at 100/300 on a weak-TP "
+                             "distribution; cat-aware 1024 delta is 0)")
     args = parser.parse_args()
 
     data = find_data(args.data)

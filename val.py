@@ -45,7 +45,12 @@ def parse_args():
                         help="fixed detections per image (default cfg "
                              "TEST.MAX_DETS; the reference emits unlimited "
                              "rows and pycocotools caps 100 per category — "
-                             "use 300 to approximate that at dense conf)")
+                             "use 1024 with the default --cat-cap 100 to "
+                             "match that exactly; overflow is logged)")
+    parser.add_argument("--cat-cap", type=int, default=-1,
+                        help="per-(image,category) scoring cap emulated on "
+                             "device (default cfg TEST.CAT_CAP=100, "
+                             "pycocotools maxDets semantics; 0 disables)")
     parser.add_argument("--approx-topk", action="store_true",
                         help="approx_max_k candidate selection (recall "
                              "~0.95): faster postprocess tail, not "
@@ -64,6 +69,8 @@ def main():
         cfg["TEST"]["PRE_NMS_TOPK"] = args.pre_nms_topk
     if args.max_dets > 0:
         cfg["TEST"]["MAX_DETS"] = args.max_dets
+    if args.cat_cap >= 0:
+        cfg["TEST"]["CAT_CAP"] = args.cat_cap
     if args.approx_topk:
         cfg["TEST"]["APPROX_TOPK"] = True
     batch_size = cfg["TEST"].get("BATCH_SIZE", 8) if args.batch_size < 0 else args.batch_size

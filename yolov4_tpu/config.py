@@ -93,6 +93,11 @@ DEFAULTS: Dict[str, Dict[str, Any]] = {
         "BATCH_SIZE": 8,
         "PRE_NMS_TOPK": 2048,
         "MAX_DETS": 100,
+        # pycocotools truncates detections per (image, category) at 100;
+        # rows ranked deeper within their class can never affect scoring,
+        # so the fixed-size MAX_DETS output drops them first (exact no-op
+        # when MAX_DETS <= CAT_CAP; see ops/postprocess.py). 0 disables.
+        "CAT_CAP": 100,
         # opt-in: approx_max_k candidate selection (recall ~0.95) instead of
         # exact sorts; trades reference-exact postprocess for ~2-3 ms/batch
         "APPROX_TOPK": False,

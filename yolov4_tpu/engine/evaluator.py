@@ -88,11 +88,23 @@ def validate(val_loader, predictor, conf_threshold: Optional[float] = None,
     ids: List[int] = []
 
     fetch = getattr(predictor, "fetch_local", np.asarray)
+    # when the predictor counts scoring-relevant rows (max_dets deeper than
+    # the per-(image,category) cap), prove the fixed-size output lossless:
+    # any image with relevant_count > max_dets lost protocol rows
+    overflow = {"images": 0, "max_relevant": 0, "counted": False}
 
     def consume(pending):
-        det_fut, valid_fut, infos, mask = pending
+        det_fut, valid_fut, nrel_fut, infos, mask = pending
         det = fetch(det_fut)
         valid = fetch(valid_fut)
+        if nrel_fut is not None:
+            nrel = fetch(nrel_fut)[: len(mask)][np.asarray(mask, bool)]
+            overflow["counted"] = True
+            if nrel.size:
+                overflow["images"] += int(
+                    (nrel > det.shape[1]).sum())
+                overflow["max_relevant"] = max(overflow["max_relevant"],
+                                               int(nrel.max()))
         for i in range(len(mask)):
             if not mask[i]:
                 continue
@@ -107,9 +119,9 @@ def validate(val_loader, predictor, conf_threshold: Optional[float] = None,
     n_batches = len(val_loader)
     inflight: deque = deque()
     for bi, (imgs, target) in enumerate(val_loader):
-        det_fut, valid_fut = predictor.dispatch(imgs)
-        inflight.append((det_fut, valid_fut, target["img_info"],
-                         target["batch_mask"]))
+        out = predictor.dispatch(imgs)
+        inflight.append((out[0], out[1], out[2] if len(out) > 2 else None,
+                         target["img_info"], target["batch_mask"]))
         if len(inflight) > 3:
             consume(inflight.popleft())
         batch_time.update(time.time() - end)
@@ -124,6 +136,18 @@ def validate(val_loader, predictor, conf_threshold: Optional[float] = None,
     if verbose:
         logger.info(f"eval done: {len(ids)} images, {len(rows)} detections, "
                     f"avg {batch_time.avg:.3f}s/batch")
+    if overflow["counted"]:
+        if overflow["images"]:
+            logger.warning(
+                f"max_dets overflow on {overflow['images']} images (up to "
+                f"{overflow['max_relevant']} scoring-relevant rows vs "
+                f"max_dets {predictor.max_dets}): the fixed-size output "
+                f"dropped rows pycocotools' per-(image,category) cap would "
+                f"have scored — raise TEST.MAX_DETS")
+        elif verbose:
+            logger.info(
+                f"max_dets lossless: <= {overflow['max_relevant']} "
+                f"scoring-relevant rows/image (cap {predictor.max_dets})")
 
     multi_process = jax.process_count() > 1
     if multi_process:

@@ -49,6 +49,14 @@ class Predictor:
         self.pre_nms_topk = cfg["TEST"].get("PRE_NMS_TOPK", 2048)
         self.max_dets = cfg["TEST"].get("MAX_DETS", 100)
         self.topk_approx = bool(cfg["TEST"].get("APPROX_TOPK", False))
+        # pycocotools-style per-(image, category) scoring cap; when the
+        # fixed-size output is deeper than it (max_dets > cat_cap), the
+        # program also counts scoring-relevant rows per image so callers
+        # can PROVE the fixed-size truncation dropped nothing (evaluator
+        # logs overflow). See ops/postprocess.py.
+        self.cat_cap = int(cfg["TEST"].get("CAT_CAP", 100))
+        self.count_relevant = bool(self.cat_cap
+                                   and self.max_dets > self.cat_cap)
 
         self._in_sharding = None
         self._replicated = None
@@ -92,7 +100,8 @@ class Predictor:
             return postprocess(
                 preds, self.num_classes, conf_thre, nms_thre,
                 pre_nms_topk=self.pre_nms_topk, max_dets=self.max_dets,
-                topk_approx=self.topk_approx)
+                topk_approx=self.topk_approx, cat_cap=self.cat_cap,
+                return_relevant_count=self.count_relevant)
 
         self._run = _run
 
@@ -103,9 +112,10 @@ class Predictor:
 
     def dispatch(self, images: np.ndarray):
         """Async path: pad/flatten/upload and dispatch the compiled program;
-        returns device futures (detections, valid). Use for pipelined loops —
-        fetch with np.asarray when needed. images: [B, S, S, 3] float32 in
-        [0, 1] or uint8 (normalized on device)."""
+        returns device futures (detections, valid) — plus relevant_count
+        when ``count_relevant`` (max_dets deeper than the scoring cap). Use
+        for pipelined loops — fetch with np.asarray when needed. images:
+        [B, S, S, 3] float32 in [0, 1] or uint8 (normalized on device)."""
         n = images.shape[0]
         if n < self.batch_size:
             pad = np.zeros((self.batch_size - n, *images.shape[1:]), images.dtype)
@@ -143,5 +153,5 @@ class Predictor:
         rows = x1, y1, x2, y2, obj, cls_conf, cls_idx in input pixels.
         """
         n = images.shape[0]
-        det, valid = self.dispatch(images)
-        return self.fetch_local(det)[:n], self.fetch_local(valid)[:n]
+        out = self.dispatch(images)
+        return self.fetch_local(out[0])[:n], self.fetch_local(out[1])[:n]

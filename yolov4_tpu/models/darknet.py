@@ -15,13 +15,36 @@ from flax import linen as nn
 from yolov4_tpu.models.layers import ConvBNAct, CSPDownSample, CSPDownSample0
 
 
+def scale_channels(ch: int, width: float) -> int:
+    """Width-multiplier channel scaling: nearest multiple of 8, floor 8
+    (keeps every internal c//2 split even and TPU lanes reasonably fed)."""
+    if width == 1.0:
+        return ch
+    return max(8, int(round(ch * width / 8)) * 8)
+
+
+def scale_blocks(n: int, depth: float) -> int:
+    """Depth-multiplier residual-block scaling, floor 1."""
+    if depth == 1.0:
+        return n
+    return max(1, int(round(n * depth)))
+
+
 class Backbone(nn.Module):
     """CSPDarknet53 trunk. ``return_pyramid=True`` yields (x3, x4, x5) at
     strides 8/16/32 for detection (reference yolov4.py:38-47); otherwise the
-    final stride-32 feature map (reference darknet.py:153-161)."""
+    final stride-32 feature map (reference darknet.py:153-161).
+
+    ``width``/``depth`` multipliers scale channel counts / residual-block
+    counts (1.0 = the reference architecture; smaller values give ablation/
+    smoke-scale variants with the identical layer topology and param tree
+    structure — used e.g. by the multi-chip dryrun so sharding validation
+    doesn't pay full-scale weights on virtual CPU devices)."""
 
     return_pyramid: bool = True
     dtype: Any = jnp.float32
+    width: float = 1.0
+    depth: float = 1.0
     # space-to-depth lowering for the low-channel stem/stage1 convs
     # (cin 3/32 -> 12/128 on the MXU's contracting rows); numerically
     # equivalent, checkpoint-compatible (see layers.ConvBNAct). Values:
@@ -60,20 +83,22 @@ class Backbone(nn.Module):
         base1_s2d = {"none": "none", "fused": "stride2_pre",
                      "unfused": "stride2"}[mode]
         base2_s2d = "stride2" if mode == "unfused" else "none"
-        x = ConvBNAct(32, 3, 1, act="mish", dtype=d, name="stem", bn_axis=bx,
+        w = lambda ch: scale_channels(ch, self.width)
+        nb = lambda n: scale_blocks(n, self.depth)
+        x = ConvBNAct(w(32), 3, 1, act="mish", dtype=d, name="stem", bn_axis=bx,
                       s2d=stem_s2d)(x, train)
 
-        x = CSPDownSample0(64, 3, 2, act="mish", dtype=d, name="stage1",
+        x = CSPDownSample0(w(64), 3, 2, act="mish", dtype=d, name="stage1",
                            bn_axis=bx, s2d_base=base1_s2d,
                            fused=fused)(x, train)
-        x = CSPDownSample(128, 3, 2, num_blocks=2, act="mish", dtype=d,
+        x = CSPDownSample(w(128), 3, 2, num_blocks=nb(2), act="mish", dtype=d,
                           name="stage2", bn_axis=bx, s2d_base=base2_s2d,
                           fused=fused)(x, train)
-        x3 = CSPDownSample(256, 3, 2, num_blocks=8, act="mish", dtype=d,
+        x3 = CSPDownSample(w(256), 3, 2, num_blocks=nb(8), act="mish", dtype=d,
                            bn_axis=bx, name="stage3", fused=fused)(x, train)
-        x4 = CSPDownSample(512, 3, 2, num_blocks=8, act="mish", dtype=d,
+        x4 = CSPDownSample(w(512), 3, 2, num_blocks=nb(8), act="mish", dtype=d,
                            bn_axis=bx, name="stage4")(x3, train)
-        x5 = CSPDownSample(1024, 3, 2, num_blocks=4, act="mish", dtype=d,
+        x5 = CSPDownSample(w(1024), 3, 2, num_blocks=nb(4), act="mish", dtype=d,
                            bn_axis=bx, name="stage5")(x4, train)
 
         if self.return_pyramid:

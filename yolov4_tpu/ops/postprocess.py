@@ -34,14 +34,46 @@ from yolov4_tpu.ops.boxes import cxcywh_to_xyxy
 from yolov4_tpu.ops.nms import greedy_nms_mask
 
 
+def _rank_in_class(cls_idx: jnp.ndarray, scores: jnp.ndarray,
+                   keep: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    """Within-class descending-score rank of each kept row.
+
+    cls_idx/scores/keep: [B, K]; scores in [0, 1]. Returns [B, K] int32 —
+    rank r means r kept same-class rows score at least as high (ties broken
+    by candidate order, matching pycocotools' stable mergesort). Non-kept
+    rows get rank K (beyond any cap).
+    """
+    k = cls_idx.shape[-1]
+    scores = jnp.clip(scores, 0.0, 1.0)  # keep the composite key per-class
+    # composite key groups rows by class (ascending) with descending score
+    # inside each class; suppressed rows sort to the tail as class C+1
+    skey = jnp.where(keep,
+                     cls_idx.astype(jnp.float32) * 2.0 + (1.0 - scores),
+                     jnp.float32(2 * num_classes + 3))
+    perm = jnp.argsort(skey, axis=-1)                    # stable
+    sorted_key = jnp.take_along_axis(skey, perm, axis=-1)
+    sorted_cls = jnp.floor(sorted_key * 0.5).astype(jnp.int32)
+    # first index of each class run = searchsorted of the run values in
+    # themselves; rank within the run = position - run start
+    first = jax.vmap(
+        lambda a: jnp.searchsorted(a, a, side="left"))(sorted_cls)
+    ranks_sorted = jnp.arange(k, dtype=jnp.int32)[None, :] - first.astype(jnp.int32)
+    inv = jnp.argsort(perm, axis=-1)
+    rank = jnp.take_along_axis(ranks_sorted, inv, axis=-1)
+    return jnp.where(keep, rank, jnp.int32(k))
+
+
 @partial(jax.jit, static_argnames=("num_classes", "pre_nms_topk", "max_dets",
-                                   "nms_engine", "topk_approx"))
+                                   "nms_engine", "topk_approx", "cat_cap",
+                                   "return_relevant_count"))
 def postprocess(predictions: jnp.ndarray, num_classes: int,
                 conf_thre: float, nms_thre: float,
                 pre_nms_topk: int = 2048,
                 max_dets: int = 100,
                 nms_engine: str = "auto",
-                topk_approx: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                topk_approx: bool = False,
+                cat_cap: int = 100,
+                return_relevant_count: bool = False) -> Tuple[jnp.ndarray, ...]:
     """predictions: [B, N, 5+C] decoded model output (cxcywh + obj + cls).
 
     ``topk_approx`` swaps the two large candidate-selection sorts for TPU
@@ -52,10 +84,28 @@ def postprocess(predictions: jnp.ndarray, num_classes: int,
     winners), so NMS greedy order is unaffected; only the tail of the
     candidate set may differ.
 
+    ``cat_cap`` mirrors pycocotools' per-(image, category) maxDets
+    truncation (COCOeval.evaluateImg keeps the top 100 detections of each
+    category per image; the reference feeds it UNLIMITED rows,
+    engine/build.py:176-188): a kept row whose within-class score rank is
+    >= cat_cap can never influence that scoring, so the final top-max_dets
+    selection drops such rows first. For max_dets <= cat_cap this is
+    provably a no-op (a row in the per-image top-max_dets has class rank
+    < max_dets <= cat_cap), so the gating is skipped entirely and the
+    compiled program is unchanged; for max_dets > cat_cap it makes the
+    fixed-size output emulate the reference's unlimited rows exactly
+    whenever <= max_dets relevant rows exist per image. Set cat_cap=0 to
+    disable (plain per-image top-max_dets).
+
     Returns:
       detections: [B, max_dets, 7] = x1,y1,x2,y2,obj,cls_conf,cls_idx
         (score-sorted; invalid rows are zeros)
       valid: [B, max_dets] bool
+      relevant_count: [B] int32, only when ``return_relevant_count`` —
+        number of post-NMS rows that can matter to a cat_cap-style scorer
+        (kept rows with class rank < cat_cap, or all kept rows when
+        cat_cap=0). relevant_count > max_dets on some image means the
+        fixed-size output dropped protocol-relevant rows there.
     """
     predictions = predictions.astype(jnp.float32)
     b, n, _ = predictions.shape
@@ -111,6 +161,12 @@ def postprocess(predictions: jnp.ndarray, num_classes: int,
         keep = greedy_nms_mask(offset_boxes, valid, nms_thre)   # [B, K]
 
     kept_scores = jnp.where(keep, top_scores, -1.0)
+    relevant = keep  # greedy_nms_mask guarantees keep implies valid
+    if cat_cap and (max_dets > cat_cap or return_relevant_count):
+        rank = _rank_in_class(cls_idx, top_scores, relevant, num_classes)
+        relevant = relevant & (rank < cat_cap)
+        if max_dets > cat_cap:
+            kept_scores = jnp.where(relevant, kept_scores, -1.0)
     d = min(max_dets, k)
     final_scores, order = jax.lax.top_k(kept_scores, d)         # [B, D]
     final_valid = final_scores > 0.0
@@ -125,4 +181,6 @@ def postprocess(predictions: jnp.ndarray, num_classes: int,
         take(cls_idx.astype(jnp.float32))[..., None],
     ], axis=-1)
     det = jnp.where(final_valid[..., None], det, 0.0)
+    if return_relevant_count:
+        return det, final_valid, jnp.sum(relevant, axis=-1, dtype=jnp.int32)
     return det, final_valid

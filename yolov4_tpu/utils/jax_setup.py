@@ -39,9 +39,33 @@ def setup_jax(cache_dir: str | None = None, enable_x64: bool = False) -> None:
         jax.config.update("jax_platforms", platform)
 
     cache_dir = cache_dir or os.environ.get("YOLOV4_TPU_JAX_CACHE", _DEFAULT_CACHE)
+    # XLA:CPU AOT executables are host-machine-specific (loading an entry
+    # compiled on a different box spams machine-feature-mismatch errors and
+    # risks SIGILL), and this environment moves between hosts across rounds
+    # — so CPU-platform runs cache under a per-machine subdirectory. TPU
+    # executables target the chip, not the host; they stay shared.
+    if platform == "cpu" or "xla_force_host_platform_device_count" in flags:
+        cache_dir = os.path.join(cache_dir, f"cpu-{_machine_key()}")
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass  # cache is an optimization; never fail startup over it
+
+
+def _machine_key() -> str:
+    """Short fingerprint of the host CPU's feature set."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(feats.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform as _platform
+
+    return hashlib.sha1(_platform.processor().encode()).hexdigest()[:12]
