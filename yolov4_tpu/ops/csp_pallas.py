@@ -113,17 +113,32 @@ def _pick_th(h: int, w: int, c: int, c2: int, halo: int, num_blocks: int,
     return None
 
 
-def _weight_vmem_bytes(c: int, num_blocks: int, dtype) -> int:
-    """Exact VMEM footprint of a stage's folded conv kernels (biases are
-    negligible). Must mirror the weights list in fused_csp_stage."""
+def _stage_weight_shapes(c: int, num_blocks: int, dtype):
+    """(shape, dtype) of every VMEM-resident weight buffer, exactly
+    mirroring the weights list fused_csp_stage builds: each conv kernel in
+    the compute dtype plus its (1, co) float32 bias row (lane-padded to
+    8x128, ~50-150 KB/stage in total — NOT negligible at a knife-edge
+    budget). One shared source for the gate and the kernel, so they can
+    never disagree on the footprint."""
     c2 = c // 2
     if num_blocks == 0:
-        shapes = [(c, c), (c, c2), (3, 3 * c2, c), (c, c), (c, c),
-                  (2 * c, c)]
+        kernels = [(c, c), (c, c2), (3, 3 * c2, c), (c, c), (c, c),
+                   (2 * c, c)]
     else:
-        shapes = [(c, c2), (c, c2), (c2, c2), (c, c)]
-        shapes += [(c2, c2), (3, 3 * c2, c2)] * num_blocks
-    return sum(_vmem_bytes(s, dtype) for s in shapes)
+        kernels = [(c, c2), (c, c2)]
+        kernels += [(c2, c2), (3, 3 * c2, c2)] * num_blocks
+        kernels += [(c2, c2), (c, c)]
+    out = []
+    for k in kernels:
+        out.append((k, dtype))
+        out.append(((1, k[-1]), jnp.float32))
+    return out
+
+
+def _weight_vmem_bytes(c: int, num_blocks: int, dtype) -> int:
+    """Exact VMEM footprint of a stage's weight buffers (kernels + biases)."""
+    return sum(_vmem_bytes(s, d)
+               for s, d in _stage_weight_shapes(c, num_blocks, dtype))
 
 
 def fused_csp_supported(shape, num_blocks: int, force_th: int = 0,
@@ -385,7 +400,10 @@ def fused_csp_stage(x: jnp.ndarray, folded: Dict[str, Tuple[jnp.ndarray,
             _as_bias(folded["transition"][1]),
         ]
 
-    weight_bytes = sum(_vmem_bytes(w.shape, w.dtype) for w in weights)
+    weight_bytes = _weight_vmem_bytes(c, num_blocks, dtype)
+    # the shared footprint must match the actual buffers (gate agreement)
+    assert weight_bytes == sum(_vmem_bytes(w.shape, w.dtype)
+                               for w in weights), "footprint drift"
     th = force_th or _pick_th(h, width, c, c2, halo, num_blocks, dtype,
                               weight_bytes)
     if th is None or h % th or (th % halo and th != h):
