@@ -1,0 +1,102 @@
+"""Subprocess worker for the 2-process multi-host test (run by
+tests/test_multihost.py, one instance per process).
+
+Exercises the code paths that only execute when jax.process_count() > 1 —
+the reference's whole DDP runtime surface (main_amp.py:94-131):
+
+  * jax.distributed.initialize over a localhost coordinator, CPU backend
+    with gloo cross-process collectives, 4 virtual devices per process;
+  * engine.evaluator._gather_rows (detection-row allgather) directly, with
+    distinct per-process rows;
+  * the full Trainer.fit flow: process-sharded loaders ->
+    make_array_from_process_local_data train batches -> shard_map train
+    step over the 2-process/8-device mesh (cross-process grad pmean) ->
+    mesh-sharded Predictor eval -> validate() (gather, sync_global_devices
+    barrier, COCOEvaluator on the primary, broadcast_one_to_all) ->
+    rank-0 checkpoint.
+
+Prints MHOK sentinel lines the pytest parses; any assert kills the worker
+and fails the test via its exit code.
+"""
+
+import os
+import sys
+
+PID = int(sys.argv[1])
+NPROCS = int(sys.argv[2])
+PORT = sys.argv[3]
+DATA_ROOT = sys.argv[4]
+OUT_DIR = sys.argv[5]
+
+os.environ["XLA_FLAGS"] = (
+    "--xla_force_host_platform_device_count=4 "
+    "--xla_cpu_collective_call_terminate_timeout_seconds=3600")
+os.environ["YOLOV4_TPU_PLATFORM"] = "cpu"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from yolov4_tpu.utils.jax_setup import setup_jax  # noqa: E402
+
+setup_jax()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.distributed.initialize(coordinator_address=f"localhost:{PORT}",
+                           num_processes=NPROCS, process_id=PID)
+assert jax.process_count() == NPROCS, jax.process_count()
+assert len(jax.devices()) == 4 * NPROCS, jax.devices()
+
+import numpy as np  # noqa: E402
+
+
+def check_gather_rows():
+    """_gather_rows with distinct per-process rows/ids -> both see the
+    union (and unequal per-process counts exercise the padding path)."""
+    from yolov4_tpu.engine.evaluator import _gather_rows
+
+    rows = [{"image_id": 100 + PID, "category_id": 1 + PID,
+             "bbox": [1.0 * PID, 2.0, 3.0, 4.0], "score": 0.5 + PID}]
+    if PID == 0:  # unequal counts: exercises max-pad + per-process trim
+        rows.append({"image_id": 77, "category_id": 3,
+                     "bbox": [5.0, 6.0, 7.0, 8.0], "score": 0.25})
+    ids = [100 + PID] + ([77] if PID == 0 else [])
+    all_rows, all_ids = _gather_rows(rows, ids)
+    assert sorted(all_ids) == [77, 100, 101], all_ids
+    assert len(all_rows) == 3, all_rows
+    got = {(r["image_id"], r["category_id"], round(r["score"], 3))
+           for r in all_rows}
+    assert got == {(100, 1, 0.5), (77, 3, 0.25), (101, 2, 1.5)}, got
+    print(f"MHOK gather pid={PID} rows={len(all_rows)}", flush=True)
+
+
+def run_trainer():
+    from yolov4_tpu.config import load_config
+    from yolov4_tpu.engine.trainer import Trainer
+
+    cfg = load_config()
+    cfg["MODEL"].update(WIDTH=0.25, DEPTH=0.25, COMPUTE_DTYPE="float32")
+    cfg["DATA"].update(BATCH_SIZE=1, WORKERS=0)
+    cfg["TRAIN"].update(IMGSIZE=64, MAX_EPOCHS=1, ACCUMULATION_STEPS=1,
+                        OUTPUT_DIR=OUT_DIR)
+    cfg["TEST"].update(IMGSIZE=64, BATCH_SIZE=4, PRE_NMS_TOPK=64,
+                       MAX_DETS=10, CONFTHRE=0.005)
+
+    trainer = Trainer(cfg, DATA_ROOT, seed=0)
+    assert trainer.train_loader is not None
+    n_local = len(trainer.train_loader)
+    ap50_95, ap50 = trainer.fit()
+    loss = float(trainer.state.loss)
+    assert np.isfinite(loss), loss
+    # broadcast_one_to_all: every process must hold the primary's stats
+    print(f"MHOK fit pid={PID} batches={n_local} loss={loss:.4f} "
+          f"ap50={ap50:.6f} ap={ap50_95:.6f}", flush=True)
+    if PID == 0:
+        ckpt = os.path.join(OUT_DIR, "checkpoint.ckpt")
+        assert os.path.isfile(ckpt), ckpt
+        print(f"MHOK ckpt pid=0 bytes={os.path.getsize(ckpt)}", flush=True)
+
+
+check_gather_rows()
+run_trainer()
+print(f"MHOK done pid={PID}", flush=True)

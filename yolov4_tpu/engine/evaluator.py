@@ -151,6 +151,10 @@ def validate(val_loader, predictor, conf_threshold: Optional[float] = None,
 
     multi_process = jax.process_count() > 1
     if multi_process:
+        # lockstep before the allgather's first gloo context creation
+        # (its ~30 s rendezvous; see parallel.mesh.coordinator_lockstep)
+        from yolov4_tpu.parallel.mesh import coordinator_lockstep
+        coordinator_lockstep("gather_rows")
         rows, ids = _gather_rows(rows, ids)
         # explicit barrier: the reference's synchronize() was only a CUDA
         # sync (utils.py:27-29); without one, non-primary processes run

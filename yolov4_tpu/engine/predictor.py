@@ -60,6 +60,7 @@ class Predictor:
 
         self._in_sharding = None
         self._replicated = None
+        self._lockstep_done = False
         if mesh is not None and mesh.devices.size > 1:
             from yolov4_tpu.parallel.mesh import batch_sharding, replicated
             self._in_sharding = batch_sharding(mesh)
@@ -131,6 +132,19 @@ class Predictor:
         if self._in_sharding is not None:
             arr = jax.make_array_from_process_local_data(
                 self._in_sharding, flat)
+            if jax.process_count() > 1 and not self._lockstep_done:
+                # compile first (persistent-cache-backed), THEN barrier via
+                # the coordinator KV store, so all processes reach the
+                # first execution — where gloo creates its communicator
+                # contexts under a hardcoded ~30 s rendezvous — together.
+                # Cross-process compile skew on contended hosts otherwise
+                # kills the job (see parallel.mesh.coordinator_lockstep).
+                from yolov4_tpu.parallel.mesh import coordinator_lockstep
+                self._run.lower(self.variables, arr, self.conf_thre,
+                                self.nms_thre).compile()
+                coordinator_lockstep(f"predictor_{self.img_size}"
+                                     f"_{self.batch_size}")
+                self._lockstep_done = True
         else:
             arr = jnp.asarray(flat)
         return self._run(self.variables, arr, self.conf_thre, self.nms_thre)

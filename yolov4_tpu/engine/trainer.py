@@ -108,6 +108,7 @@ class Trainer:
             }
             logger.info("device-side augmentation enabled")
         self.train_step = None
+        self._train_lockstep_done = False
         if not evaluate_only:
             self.train_step = make_train_step(
                 self.model, self.criterion, self.tx, self.lr_schedule,
@@ -188,6 +189,15 @@ class Trainer:
         label_key = "member_boxes" if self.device_aug else "padded_labels"
         for i, (imgs, target) in enumerate(self.train_loader):
             imgs, labels = self._put_batch(imgs, target[label_key])
+            if jax.process_count() > 1 and not self._train_lockstep_done:
+                # compile, then coordinator barrier, then first dispatch:
+                # gloo context creation at the first execution has a
+                # hardcoded ~30 s rendezvous that cross-process compile
+                # skew can blow (parallel.mesh.coordinator_lockstep)
+                self.train_step.lower(self.state, imgs, labels).compile()
+                from yolov4_tpu.parallel.mesh import coordinator_lockstep
+                coordinator_lockstep("train_step")
+                self._train_lockstep_done = True
             self.state = self.train_step(self.state, imgs, labels)
             if self.profiler.count:
                 # host-side counter: reading state.step would force a sync

@@ -33,6 +33,31 @@ def create_mesh(devices: Optional[Sequence] = None,
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def coordinator_lockstep(name: str, timeout_s: int = 1200) -> None:
+    """Bring all processes into lockstep via the coordinator's KV-store
+    barrier (NOT a device collective; the timeout is explicit and long).
+
+    XLA:CPU's gloo backend creates a communicator context the first time a
+    compiled program's collective executes, with a HARDCODED ~30 s
+    key-exchange timeout. Two processes compiling the same program
+    concurrently on slow/contended hosts can reach that first execution
+    >30 s apart, and the whole job dies with "Gloo context initialization
+    failed: DEADLINE_EXCEEDED". Calling this between COMPILING a
+    collective program and first DISPATCHING it shrinks the skew to
+    barrier-exit jitter. No-op single-process, and a plain device-sync
+    fallback if no coordinator client exists."""
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:  # initialized some other way; best effort
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(f"lockstep_{name}")
+        return
+    client.wait_at_barrier(f"yolov4_lockstep_{name}", timeout_s * 1000)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis batch sharding for input arrays."""
     return NamedSharding(mesh, P(DATA_AXIS))
