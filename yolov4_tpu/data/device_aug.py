@@ -13,11 +13,16 @@ source to a fixed S x S canvas, then per training sample the device applies
   box transforms mirrored with fixed [K, 5] masks  (filter_truth equivalent)
 
 Distributional notes vs the host pipeline: geometry parameters are drawn
-from the same distributions, but crops act on the pre-resized canvas rather
-than the original image (one extra bilinear resample), and RNG is jax PRNG
-rather than python/numpy — so this path is distribution-level, not
-draw-for-draw, equivalent. Keep the host pipeline for strict reproduction
-of the reference's augmentation stream.
+from the same distributions — including the mosaic paste-window shifts
+blend_mosaic derives from zoom-out crop padding (transform.py:287-307),
+which are folded into each member's crop resample (_mosaic_shifts) — but
+crops act on the pre-resized canvas rather than the original image (one
+extra bilinear resample), and RNG is jax PRNG rather than python/numpy.
+So this path is distribution-level, not draw-for-draw, equivalent;
+tests/test_device_aug.py pins the joint geometry distribution against the
+host pipeline with two-sample KS tests (box centers/sizes/counts, padding
+visibility). Keep the host pipeline for strict reproduction of the
+reference's augmentation stream.
 
 Everything is static-shape: inputs [B, 4, S, S, 3] uint8 canvases +
 [B, 4, K, 5] padded boxes, output [B, S, S, 3] float32 + [B, K, 5].
@@ -100,7 +105,7 @@ def _rand_scale(key: jax.Array, s: float) -> jnp.ndarray:
 
 
 def _crop_one(img: jnp.ndarray, boxes: jnp.ndarray, crop: jnp.ndarray,
-              size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+              size: int, shift=(0.0, 0.0)) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Jittered crop + channel-mean pad + resize back to S x S, on-canvas.
 
     crop = [left, right, top, bottom] offsets (canvas pixels). The reference
@@ -114,14 +119,22 @@ def _crop_one(img: jnp.ndarray, boxes: jnp.ndarray, crop: jnp.ndarray,
     canvas comes for free from linearity: resample(img - mean) + mean
     (scale_and_translate zero-fills out-of-bounds taps).
     Boxes map linearly: x' = (x - l) * S / crop_w (then clipped).
+
+    shift = (ty, tx): EXTRA integer output-space translation, used to fold
+    the reference's mosaic paste-window shifts (blend_mosaic,
+    transform.py:287-307) into this resample. Integer shifts reuse the
+    same bilinear weight pattern, so this equals translating the resampled
+    image — exactly the reference's shifted integer-pixel paste slice.
     """
     left, right, top, bottom = crop[0], crop[1], crop[2], crop[3]
     crop_w = (size - left - right).astype(jnp.float32)
     crop_h = (size - top - bottom).astype(jnp.float32)
+    ty, tx = shift
 
     mean = jnp.mean(img, axis=(0, 1))
     scale = jnp.stack([size / crop_h, size / crop_w])
-    translation = jnp.stack([-top * size / crop_h, -left * size / crop_w])
+    translation = jnp.stack([ty - top * size / crop_h,
+                             tx - left * size / crop_w])
     out = jax.image.scale_and_translate(
         img - mean, (size, size, 3), (0, 1), scale, translation,
         method="linear", antialias=False) + mean
@@ -130,15 +143,53 @@ def _crop_one(img: jnp.ndarray, boxes: jnp.ndarray, crop: jnp.ndarray,
     valid = jnp.sum(boxes, axis=1) > 0
     sx = size / jnp.maximum(crop_w, 1.0)
     sy = size / jnp.maximum(crop_h, 1.0)
-    x1 = jnp.clip((boxes[:, 0] - left) * sx, 0, size)
-    y1 = jnp.clip((boxes[:, 1] - top) * sy, 0, size)
-    x2 = jnp.clip((boxes[:, 2] - left) * sx, 0, size)
-    y2 = jnp.clip((boxes[:, 3] - top) * sy, 0, size)
+    x1 = jnp.clip((boxes[:, 0] - left) * sx + tx, 0, size)
+    y1 = jnp.clip((boxes[:, 1] - top) * sy + ty, 0, size)
+    x2 = jnp.clip((boxes[:, 2] - left) * sx + tx, 0, size)
+    y2 = jnp.clip((boxes[:, 3] - top) * sy + ty, 0, size)
     degenerate = (x1 >= x2) | (y1 >= y2)
     valid = valid & ~degenerate
     new_boxes = jnp.where(valid[:, None],
                           jnp.stack([x1, y1, x2, y2, boxes[:, 4]], axis=1), 0.0)
     return out, new_boxes
+
+
+def _mosaic_shifts(crop: jnp.ndarray, flips: jnp.ndarray, cut_x, cut_y,
+                   size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-member mosaic content translations matching the reference's
+    paste-window shifts (blend_mosaic, transform.py:287-307).
+
+    When a member's crop had NEGATIVE offsets (zoom-out, mean padding on
+    that side), the reference shifts the quadrant's paste window toward
+    real content by the padding amount in resized pixels,
+    ``int(min(limit, max(0, -offset * S / crop_w)))``, twice clamped; the
+    flip swaps which side the left/right padding sits on. Returns
+    post-flip output-space translations (tx[4], ty[4]): quadrant pixel
+    (x, y) shows member pixel (x - tx, y - ty).
+    """
+    left = jnp.where(flips, crop[:, 1], crop[:, 0]).astype(jnp.float32)
+    right = jnp.where(flips, crop[:, 0], crop[:, 1]).astype(jnp.float32)
+    top = crop[:, 2].astype(jnp.float32)
+    bottom = crop[:, 3].astype(jnp.float32)
+    crop_w = (size - crop[:, 0] - crop[:, 1]).astype(jnp.float32)
+    crop_h = (size - crop[:, 2] - crop[:, 3]).astype(jnp.float32)
+    s = float(size)
+    fx = jnp.asarray(cut_x, jnp.float32)
+    fy = jnp.asarray(cut_y, jnp.float32)
+
+    ls = jnp.trunc(jnp.minimum(fx, jnp.maximum(0.0, -left * s / crop_w)))
+    ts = jnp.trunc(jnp.minimum(fy, jnp.maximum(0.0, -top * s / crop_h)))
+    rs = jnp.trunc(jnp.minimum(s - fx, jnp.maximum(0.0, -right * s / crop_w)))
+    bs = jnp.trunc(jnp.minimum(s - fy, jnp.maximum(0.0, -bottom * s / crop_h)))
+    ls = jnp.minimum(ls, s - fx)
+    ts = jnp.minimum(ts, s - fy)
+    rs = jnp.minimum(rs, fx)
+    bs = jnp.minimum(bs, fy)
+
+    # member order: [top-left, top-right, bottom-left, bottom-right]
+    tx = jnp.stack([-ls[0], rs[1], -ls[2], rs[3]])
+    ty = jnp.stack([-ts[0], -ts[1], bs[2], bs[3]])
+    return tx, ty
 
 
 def _flip_one(img, boxes, do_flip, size):
@@ -161,9 +212,11 @@ def _dither_one(img, dhue, dsat, dexp, enabled):
 
 
 def _mosaic(imgs, boxes, cut_x, cut_y, size, max_labels):
-    """imgs: [4, S, S, 3]; boxes: [4, K, 5] xyxy+cls. Quadrants keep their
-    own image's pixels at identical coordinates (the reference's zero-shift
-    case of blend_mosaic; crop shifts are already folded into _crop_one)."""
+    """imgs: [4, S, S, 3]; boxes: [4, K, 5] xyxy+cls. Quadrants take their
+    own member's pixels at identical coordinates — the reference's
+    crop-derived paste-window shifts are already applied to each member
+    (folded into _crop_one's resample via _mosaic_shifts), so the plain
+    quadrant select here IS blend_mosaic's shifted paste."""
     ys = jnp.arange(size)[:, None, None]   # [S, 1, 1]
     xs = jnp.arange(size)[None, :, None]   # [1, S, 1]
     top = ys < cut_y
@@ -204,9 +257,18 @@ def _augment_sample(key, imgs_u8, boxes, size, max_labels, cfg_vals):
     p = _sample_params(key, size, cfg_vals)
     imgs = imgs_u8.astype(jnp.float32)
 
+    # reference paste-window shifts, folded into each member's crop
+    # resample. The shift is defined POST-flip; _crop_one runs before the
+    # flip, and a pre-flip translation by u becomes -u after mirroring,
+    # so flipped members get the sign-compensated shift.
+    tx, ty = _mosaic_shifts(p["crop"], p["flip"], p["cut_x"], p["cut_y"],
+                            size)
+    ux = jnp.where(p["flip"], -tx, tx)
+
     outs, outb = [], []
     for m in range(4):
-        img, bx = _crop_one(imgs[m], boxes[m], p["crop"][m], size)
+        img, bx = _crop_one(imgs[m], boxes[m], p["crop"][m], size,
+                            shift=(ty[m], ux[m]))
         img, bx = _flip_one(img, bx, p["flip"][m], size)
         img = _dither_one(img, p["dhue"][m], p["dsat"][m], p["dexp"][m],
                           p["dither"][m])
