@@ -119,8 +119,100 @@ def main():
         "unit": "images/sec",
         "vs_baseline": None,
     }
+
+    # --- device-resident rates (the hardware-meaningful numbers the shared
+    # tunnel hides: e2e above is upload-bandwidth-bound and its windows
+    # drift 2-4x with tunnel congestion; docs/PERF.md). Extra fields only —
+    # the primary metric stays the honest end-to-end number.
+    result.update(device_rates(predictor, preprocess_batch, batch, size))
     print(json.dumps(result))
     return result
+
+
+def device_rates(predictor, preprocess_batch, batch, size):
+    """Device-resident fwd+decode+NMS and train-step rates.
+
+    The inference window reuses the EXACT program the e2e loop compiled
+    (Predictor._run, uint8 flat input) with the input staged on device, so
+    no transfer and no new compile is involved. The train step compiles the
+    standard 608/b8 training program (persistent-cache warm in normal
+    operation; YOLOV4_BENCH_TRAIN=0 skips it). Any failure degrades to
+    null fields — the primary e2e metric is already computed.
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    extra = {"device_fwd_nms_img_s": None, "device_fwd_nms_ms_b%d" % batch: None,
+             "train_step_ms_608_b8": None, "train_img_s_608_b8": None}
+    try:
+        from yolov4_tpu import native
+        frame = preprocess_batch(0)
+        flat = native.pack_planar_u8(frame).reshape(batch, -1)
+        dev = jax.block_until_ready(jnp.asarray(flat))
+        v, ct, nt = predictor.variables, predictor.conf_thre, predictor.nms_thre
+
+        def dev_window(iters=20):
+            t0 = time.time()
+            for _ in range(iters):
+                out = predictor._run(v, dev, ct, nt)
+            jax.block_until_ready(out)
+            return (time.time() - t0) / iters * 1000.0
+
+        dev_window(3)
+        ms = float(np.median([dev_window() for _ in range(5)]))
+        extra["device_fwd_nms_ms_b%d" % batch] = round(ms, 2)
+        extra["device_fwd_nms_img_s"] = round(batch / (ms / 1000.0), 1)
+    except Exception as e:  # noqa: BLE001 — never endanger the primary metric
+        print(f"device fwd+NMS measurement failed: {e!r}", file=sys.stderr)
+
+    if os.environ.get("YOLOV4_BENCH_TRAIN", "1") != "1":
+        return extra
+    try:
+        from yolov4_tpu.config import load_config as _lc
+        from yolov4_tpu.models import build_model
+        from yolov4_tpu.models.yolov4 import init_variables
+        from yolov4_tpu.ops.loss import build_criterion
+        from yolov4_tpu.optim import build_lr_schedule, build_optimizer
+        from yolov4_tpu.parallel import (create_mesh, create_train_state,
+                                         make_train_step)
+
+        s, tb = 608, 8
+        cfg = _lc()
+        model = build_model(cfg)
+        variables = init_variables(model, jax.random.PRNGKey(0), s)
+        tx = build_optimizer(cfg, variables["params"])
+        step = make_train_step(model, build_criterion(cfg), tx,
+                               build_lr_schedule(cfg, len_epoch=100),
+                               create_mesh(jax.devices()[:1]), img_size=s)
+        state = create_train_state(variables, tx)
+        rng = np.random.default_rng(0)
+        flat = jnp.asarray(rng.random((tb, s * s * 3)), jnp.float32)
+        labels = np.zeros((tb, 60, 5), np.float32)
+        labels[:, 0] = [100, 100, 40, 40, 3]
+        labels = jnp.asarray(labels)
+
+        def train_window(state, iters=10):
+            # block on the FULL state — loss alone becomes ready before
+            # backward+optimizer finish and understates the step severalfold
+            t0 = time.time()
+            for _ in range(iters):
+                state = step(state, flat, labels)
+            jax.block_until_ready(state)
+            return (time.time() - t0) / iters * 1000.0, state
+
+        _, state = train_window(state, iters=2)  # compile + warm
+        ms_w = []
+        for _ in range(5):
+            ms, state = train_window(state)
+            ms_w.append(ms)
+        ms = float(np.median(ms_w))
+        extra["train_step_ms_608_b8"] = round(ms, 2)
+        extra["train_img_s_608_b8"] = round(tb / (ms / 1000.0), 1)
+    except Exception as e:  # noqa: BLE001
+        print(f"train-step measurement failed: {e!r}", file=sys.stderr)
+    return extra
 
 
 if __name__ == "__main__":
