@@ -65,6 +65,13 @@ class Backbone(nn.Module):
     # VMEM). False | True | "auto" (= on when running on TPU). Exactly
     # equivalent math (BN running stats folded), checkpoint-compatible.
     pallas_csp: Any = False
+    # lane packing for stage1 (C=64 at stride 4, the VPU-Mish/MXU-row-bound
+    # stage): two image columns per 128-lane vector, block-structured
+    # kernels, exit folded into stage2's base conv. Mathematically
+    # equivalent, checkpoint-compatible (layers._wpack_* / _WPackConvBN).
+    # False | True | "auto" (= on when running on TPU). Measured 0.478x
+    # the plain stage1 op mix at 608/b16 (tools/exp_wpack.py).
+    wpack: Any = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -83,6 +90,17 @@ class Backbone(nn.Module):
         base1_s2d = {"none": "none", "fused": "stride2_pre",
                      "unfused": "stride2"}[mode]
         base2_s2d = "stride2" if mode == "unfused" else "none"
+        wpack = self.wpack
+        if wpack == "auto":
+            import jax
+            wpack = jax.default_backend() == "tpu"
+        # packed stage1 needs even stage-1 dims (input multiple of 4 —
+        # the model's multiple-of-32 contract covers it; guard anyway)
+        wpack = bool(wpack) and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
+        if wpack:
+            base1_s2d = ("stride2_pre_wpack" if base1_s2d == "stride2_pre"
+                         else "stride2_wpack")
+            base2_s2d = "stride2_from_wpack"
         w = lambda ch: scale_channels(ch, self.width)
         nb = lambda n: scale_blocks(n, self.depth)
         x = ConvBNAct(w(32), 3, 1, act="mish", dtype=d, name="stem", bn_axis=bx,
@@ -90,7 +108,8 @@ class Backbone(nn.Module):
 
         x = CSPDownSample0(w(64), 3, 2, act="mish", dtype=d, name="stage1",
                            bn_axis=bx, s2d_base=base1_s2d,
-                           fused=fused)(x, train)
+                           fused=fused and not wpack,
+                           wpack=wpack)(x, train)
         x = CSPDownSample(w(128), 3, 2, num_blocks=nb(2), act="mish", dtype=d,
                           name="stage2", bn_axis=bx, s2d_base=base2_s2d,
                           fused=fused)(x, train)

@@ -115,6 +115,84 @@ def _s2d_stride2_kernel(w: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def _wpack_1x1_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """[1,1,Ci,Co] -> [1,1,2Ci,2Co] block-diagonal kernel over W-packed
+    tensors (channel s*C+c holds column x=2j+s; see `wpack` in ConvBNAct).
+
+    Lane packing: C=64 stages leave half the VPU's 128 lanes idle on the
+    elementwise ops (Mish/BN) and half the MXU's contracting rows on K=64
+    dots; packing two image columns fills both. Measured on chip
+    (tools/exp_wpack.py, 608/b16 stage1 mix): 0.478x with boundaries
+    folded."""
+    ci, co = w.shape[-2], w.shape[-1]
+    out = jnp.zeros((1, 1, 2 * ci, 2 * co), w.dtype)
+    out = out.at[:, :, :ci, :co].set(w)
+    out = out.at[:, :, ci:, co:].set(w)
+    return out
+
+
+def _wpack_3x3_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """[3,3,Ci,Co] -> [3,3,2Ci,2Co] over W-packed tensors.
+
+    Output sub s=0 at packed col j taps (packed j-1, sub1)@dx=-1,
+    (j, sub0)@dx=0, (j, sub1)@dx=+1; sub s=1 taps (j, sub0)@dx=-1,
+    (j, sub1)@dx=0, (j+1, sub0)@dx=+1. 6 of 12 blocks nonzero."""
+    _, _, ci, co = w.shape
+    out = jnp.zeros((3, 3, 2 * ci, 2 * co), w.dtype)
+    for dy in range(3):
+        out = out.at[dy, 0, ci:, :co].set(w[dy, 0])
+        out = out.at[dy, 1, :ci, :co].set(w[dy, 1])
+        out = out.at[dy, 1, ci:, :co].set(w[dy, 2])
+        out = out.at[dy, 1, :ci, co:].set(w[dy, 0])
+        out = out.at[dy, 1, ci:, co:].set(w[dy, 1])
+        out = out.at[dy, 2, :ci, co:].set(w[dy, 2])
+    return out
+
+
+def _wpack_concat2_1x1_kernel(w: jnp.ndarray, ca: int) -> jnp.ndarray:
+    """1x1 kernel [1,1,Ca+Cb,Co] consuming concat([A, B], -1) where A and
+    B are each W-PACKED: the concat's channel blocks are
+    [A_s0, A_s1, B_s0, B_s1] (not canonically packed), so the packed
+    kernel routes (A,s) and (B,s) blocks to output sub s."""
+    cab, co = w.shape[-2], w.shape[-1]
+    cb = cab - ca
+    wa, wb = w.reshape(cab, co)[:ca], w.reshape(cab, co)[ca:]
+    out = jnp.zeros((1, 1, 2 * cab, 2 * co), w.dtype)
+    out = out.at[0, 0, 0:ca, :co].set(wa)                      # A s0 -> s0
+    out = out.at[0, 0, ca:2 * ca, co:].set(wa)                 # A s1 -> s1
+    out = out.at[0, 0, 2 * ca:2 * ca + cb, :co].set(wb)        # B s0 -> s0
+    out = out.at[0, 0, 2 * ca + cb:, co:].set(wb)              # B s1 -> s1
+    return out
+
+
+def _wpack_entry_s2d_kernel(w2: jnp.ndarray) -> jnp.ndarray:
+    """[2,2,Ci,Co] s2d stride-2 kernel (from _s2d_stride2_kernel) ->
+    [2,3,Ci,2Co], stride (1,2), pad ((1,0),(1,1)): same conv but the
+    output comes out W-PACKED. Packed col j sub0 = orig out x=2j (s2d-W
+    taps {2j-1,2j}), sub1 = x=2j+1 (taps {2j,2j+1})."""
+    kh, _, ci, co = w2.shape
+    out = jnp.zeros((kh, 3, ci, 2 * co), w2.dtype)
+    out = out.at[:, 0, :, :co].set(w2[:, 0])
+    out = out.at[:, 1, :, :co].set(w2[:, 1])
+    out = out.at[:, 1, :, co:].set(w2[:, 0])
+    out = out.at[:, 2, :, co:].set(w2[:, 1])
+    return out
+
+
+def _wpack_exit_s2_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """[3,3,Ci,Co] stride-2 kernel -> [3,2,2Ci,Co] over W-PACKED input,
+    stride (2,1), pad ((1,1),(1,0)): plain (unpacked) stride-2 output.
+    Out col x' taps orig {2x'-1, 2x', 2x'+1} = packed (x'-1,s1), (x',s0),
+    (x',s1)."""
+    _, _, ci, co = w.shape
+    out = jnp.zeros((3, 2, 2 * ci, co), w.dtype)
+    for dy in range(3):
+        out = out.at[dy, 0, ci:, :].set(w[dy, 0])
+        out = out.at[dy, 1, :ci, :].set(w[dy, 1])
+        out = out.at[dy, 1, ci:, :].set(w[dy, 2])
+    return out
+
+
 class _ConvKernel(nn.Module):
     """Bare conv kernel parameter, path-compatible with nn.Conv
     (name='conv' -> params 'conv/kernel', same shape and init)."""
@@ -239,8 +317,12 @@ class ConvBNAct(nn.Module):
                 "s2d lowering supports bias-free 3x3 convs"
             assert (self.s2d, self.stride) in (
                 ("stride1", 1), ("stride2", 2),
-                ("stride1_keep", 1), ("stride2_pre", 2))
-            cin = (x.shape[-1] // 4 if self.s2d == "stride2_pre"
+                ("stride1_keep", 1), ("stride2_pre", 2),
+                ("stride2_pre_wpack", 2), ("stride2_wpack", 2),
+                ("stride2_from_wpack", 2))
+            cin = (x.shape[-1] // 4
+                   if self.s2d in ("stride2_pre", "stride2_pre_wpack")
+                   else x.shape[-1] // 2 if self.s2d == "stride2_from_wpack"
                    else x.shape[-1])
             kernel = _ConvKernel((3, 3, cin, self.out_ch), name="conv")()
             x = x.astype(self.dtype)
@@ -258,6 +340,21 @@ class ConvBNAct(nn.Module):
                     dimension_numbers=dn)
                 if self.s2d == "stride1":
                     x = depth_to_space(x)
+            elif self.s2d in ("stride2_pre_wpack", "stride2_wpack"):
+                # stride-2 downsample emitting W-PACKED output (lane
+                # packing; see _wpack_1x1_kernel). Input is the s2d stem
+                # layout ("pre") or plain (packed via space_to_depth).
+                w = _wpack_entry_s2d_kernel(
+                    _s2d_stride2_kernel(kernel)).astype(self.dtype)
+                if self.s2d == "stride2_wpack":
+                    x = space_to_depth(x)
+                x = jax.lax.conv_general_dilated(
+                    x, w, (1, 2), [(1, 0), (1, 1)], dimension_numbers=dn)
+            elif self.s2d == "stride2_from_wpack":
+                # stride-2 downsample CONSUMING W-packed input, plain out
+                w = _wpack_exit_s2_kernel(kernel).astype(self.dtype)
+                x = jax.lax.conv_general_dilated(
+                    x, w, (2, 1), [(1, 1), (1, 0)], dimension_numbers=dn)
             else:
                 w = _s2d_stride2_kernel(kernel).astype(self.dtype)
                 if self.s2d == "stride2":
@@ -266,6 +363,9 @@ class ConvBNAct(nn.Module):
                     x, w, (1, 1), [(1, 0), (1, 0)], dimension_numbers=dn)
         if self.bn and self.s2d == "stride1_keep":
             x = _TiledBN(self.out_ch, phases=4, dtype=self.dtype,
+                         bn_axis=self.bn_axis, name="norm")(x, train)
+        elif self.bn and self.s2d in ("stride2_pre_wpack", "stride2_wpack"):
+            x = _TiledBN(self.out_ch, phases=2, dtype=self.dtype,
                          bn_axis=self.bn_axis, name="norm")(x, train)
         elif self.bn:
             x = nn.BatchNorm(
@@ -279,6 +379,43 @@ class ConvBNAct(nn.Module):
                 axis_name=self.bn_axis,
                 name="norm",
             )(x)
+        return ACTIVATIONS[self.act](x)
+
+
+class _WPackConvBN(nn.Module):
+    """Conv+BN+act over W-PACKED tensors (lane packing; see
+    _wpack_1x1_kernel). Parameters are declared in the ORIGINAL shapes and
+    paths (conv/kernel [k,k,Ci,Co], norm/* [Co] — identical tree to a
+    plain ConvBNAct), and the kernel is rearranged at trace time; BN runs
+    tiled over the two column phases (_TiledBN, exact). ``concat_ca``:
+    the input is concat([A, B], -1) of two packed tensors and the 1x1
+    kernel's first concat_ca input channels belong to A."""
+
+    cin: int
+    cout: int
+    ksize: int = 1
+    act: str = "mish"
+    dtype: Any = jnp.float32
+    bn_axis: Any = None
+    concat_ca: int = 0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        kernel = _ConvKernel((self.ksize, self.ksize, self.cin, self.cout),
+                             name="conv")()
+        if self.concat_ca:
+            w = _wpack_concat2_1x1_kernel(kernel, self.concat_ca)
+        elif self.ksize == 1:
+            w = _wpack_1x1_kernel(kernel)
+        else:
+            w = _wpack_3x3_kernel(kernel)
+        pad = (self.ksize - 1) // 2
+        x = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype), (1, 1),
+            [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = _TiledBN(self.cout, phases=2, dtype=self.dtype,
+                     bn_axis=self.bn_axis, name="norm")(x, train)
         return ACTIVATIONS[self.act](x)
 
 
@@ -378,11 +515,37 @@ class CSPDownSample0(nn.Module):
     # eval-only fused Pallas stage body (ops/csp_pallas.py): one kernel for
     # the whole post-base-conv subgraph, BN folded. Param tree unchanged.
     fused: bool = False
+    # lane packing: run the whole stage W-PACKED ([.., W/2, 2C]) — the base
+    # conv emits packed layout, every interior conv uses a rearranged
+    # kernel, BN is column-phase-tiled (exact), and the OUTPUT STAYS
+    # PACKED for the next stage's base conv (s2d="stride2_from_wpack").
+    # Mathematically equivalent, checkpoint-compatible. Measured 0.478x
+    # the plain stage mix at 608/b16 (tools/exp_wpack.py).
+    wpack: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         c, k, s, a, d = self.out_ch, self.kernel_size, self.stride, self.act, self.dtype
         bx = self.bn_axis
+        if self.wpack:
+            assert self.s2d_base in ("stride2_pre_wpack", "stride2_wpack")
+            x = ConvBNAct(c, k, s, act=a, dtype=d, name="base", bn_axis=bx,
+                          s2d=self.s2d_base)(x, train)  # -> packed
+            x1 = _WPackConvBN(c, c, 1, act=a, dtype=d, bn_axis=bx,
+                              name="part1")(x, train)
+            x2a = _WPackConvBN(c, c, 1, act=a, dtype=d, bn_axis=bx,
+                               name="part2_1_1")(x, train)
+            h = _WPackConvBN(c, c // 2, 1, act=a, dtype=d, bn_axis=bx,
+                             name="part2_1_2_0")(x2a, train)
+            h = _WPackConvBN(c // 2, c, 3, act=a, dtype=d, bn_axis=bx,
+                             name="part2_1_2_1")(h, train)
+            x2 = x2a + h
+            x2 = _WPackConvBN(c, c, 1, act=a, dtype=d, bn_axis=bx,
+                              name="part2_2")(x2, train)
+            cat = jnp.concatenate([x2, x1], axis=-1)
+            return _WPackConvBN(2 * c, c, 1, act=a, dtype=d, bn_axis=bx,
+                                concat_ca=c, name="transition")(cat, train)
+
         x = ConvBNAct(c, k, s, act=a, dtype=d, name="base", bn_axis=bx,
                       s2d=self.s2d_base)(x, train)
 

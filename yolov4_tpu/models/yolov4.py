@@ -41,6 +41,7 @@ class YOLOv4(nn.Module):
     dtype: Any = jnp.float32
     s2d: Any = True  # space-to-depth stem lowering (see darknet.Backbone)
     pallas_csp: Any = False  # fused eval CSP stages (see darknet.Backbone)
+    wpack: Any = False  # stage1 lane packing (see darknet.Backbone)
     # width/depth multipliers (1.0 = the reference architecture exactly;
     # see darknet.scale_channels/scale_blocks). Smaller values build
     # topology-identical reduced variants, e.g. for smoke-scale sharding
@@ -58,6 +59,7 @@ class YOLOv4(nn.Module):
         x = x.astype(self.dtype)
         x3, x4, x5 = Backbone(return_pyramid=True, dtype=self.dtype,
                               s2d=self.s2d, pallas_csp=self.pallas_csp,
+                              wpack=self.wpack,
                               width=self.width, depth=self.depth,
                               name="backbone")(x, train)
         p1, p2, p3 = Neck(legacy_pools=self.legacy_spp_pools, dtype=self.dtype,
@@ -82,6 +84,7 @@ def build_model(cfg: Dict) -> YOLOv4:
         dtype=dtype,
         s2d=model_cfg.get("S2D_STEM", True),
         pallas_csp=model_cfg.get("PALLAS_CSP", False),
+        wpack=model_cfg.get("WPACK", False),
         width=float(model_cfg.get("WIDTH", 1.0)),
         depth=float(model_cfg.get("DEPTH", 1.0)),
     )
