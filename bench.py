@@ -193,13 +193,19 @@ def device_rates(predictor, preprocess_batch, batch, size):
         labels[:, 0] = [100, 100, 40, 40, 3]
         labels = jnp.asarray(labels)
 
+        # the step donates its state, and on this backend block_until_ready
+        # over donated outputs can return before the device finishes (trace
+        # showed 47.5 ms/step where full-state blocking measured 28).
+        # FETCHING a param VALUE cannot lie: the optimizer writes it at the
+        # very end of the step, and np.asarray must produce real data.
+        small_leaf = min(range(len(jax.tree.leaves(state.params))),
+                         key=lambda i: jax.tree.leaves(state.params)[i].size)
+
         def train_window(state, iters=10):
-            # block on the FULL state — loss alone becomes ready before
-            # backward+optimizer finish and understates the step severalfold
             t0 = time.time()
             for _ in range(iters):
                 state = step(state, flat, labels)
-            jax.block_until_ready(state)
+            np.asarray(jax.tree.leaves(state.params)[small_leaf])
             return (time.time() - t0) / iters * 1000.0, state
 
         _, state = train_window(state, iters=2)  # compile + warm
