@@ -149,7 +149,9 @@ def device_rates(predictor, preprocess_batch, batch, size):
     try:
         from yolov4_tpu import native
         frame = preprocess_batch(0)
-        flat = native.pack_planar_u8(frame).reshape(batch, -1)
+        pack = (native.pack_s2d_u8 if getattr(predictor, "_s2d_wire", False)
+                else native.pack_planar_u8)
+        flat = pack(frame).reshape(batch, -1)
         dev = jax.block_until_ready(jnp.asarray(flat))
         v, ct, nt = predictor.variables, predictor.conf_thre, predictor.nms_thre
 
@@ -183,9 +185,11 @@ def device_rates(predictor, preprocess_batch, batch, size):
         model = build_model(cfg)
         variables = init_variables(model, jax.random.PRNGKey(0), s)
         tx = build_optimizer(cfg, variables["params"])
+        # input_layout="s2d" = the Trainer's production default wire format
         step = make_train_step(model, build_criterion(cfg), tx,
                                build_lr_schedule(cfg, len_epoch=100),
-                               create_mesh(jax.devices()[:1]), img_size=s)
+                               create_mesh(jax.devices()[:1]), img_size=s,
+                               input_layout="s2d")
         state = create_train_state(variables, tx)
         rng = np.random.default_rng(0)
         flat = jnp.asarray(rng.random((tb, s * s * 3)), jnp.float32)

@@ -52,3 +52,43 @@ def test_native_nms_fallback_path(rng, monkeypatch):
     monkeypatch.setattr(native, "_build_error", "forced-off")
     fallback_keep = native.greedy_nms_host(boxes, valid, 0.5)
     np.testing.assert_array_equal(native_keep, fallback_keep)
+
+
+def test_pack_s2d_matches_numpy_oracle(rng):
+    """Native pack_s2d == the space_to_depth permutation, exactly."""
+    b, h, w = 2, 12, 16
+    img = rng.integers(0, 256, (b, h, w, 3)).astype(np.uint8)
+    got = native.pack_s2d_u8(img)
+    want = np.ascontiguousarray(
+        img.reshape(b, h // 2, 2, w // 2, 2, 3)
+        .transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 12))
+    np.testing.assert_array_equal(got, want)
+    # and it matches the model-side space_to_depth channel order
+    from yolov4_tpu.models.layers import space_to_depth
+    import jax.numpy as jnp
+    dev = np.asarray(space_to_depth(jnp.asarray(img, jnp.float32)))
+    np.testing.assert_array_equal(got.astype(np.float32), dev)
+
+
+def test_pack_s2d_f32_matches_fallback(rng, monkeypatch):
+    b, h, w = 2, 10, 14
+    img = rng.random((b, h, w, 3)).astype(np.float32)
+    native_out = native.pack_s2d_f32(img)
+    monkeypatch.setattr(native, "_fastops", None)
+    monkeypatch.setattr(native, "_build_error", "forced-off")
+    np.testing.assert_array_equal(native.pack_s2d_f32(img), native_out)
+    # and it equals the u8 permutation applied to the same data
+    q = (img * 255).astype(np.uint8)
+    monkeypatch.undo()
+    np.testing.assert_array_equal(
+        native.pack_s2d_u8(q), (native.pack_s2d_f32(q.astype(np.float32))
+                                ).astype(np.uint8))
+
+
+def test_pack_s2d_fallback_path(rng, monkeypatch):
+    b, h, w = 1, 8, 8
+    img = rng.integers(0, 256, (b, h, w, 3)).astype(np.uint8)
+    native_out = native.pack_s2d_u8(img)
+    monkeypatch.setattr(native, "_fastops", None)
+    monkeypatch.setattr(native, "_build_error", "forced-off")
+    np.testing.assert_array_equal(native.pack_s2d_u8(img), native_out)

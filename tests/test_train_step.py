@@ -185,3 +185,47 @@ def test_skip_nonfinite_guard():
     state = step_guard(state, imgs, labels)
     p2 = np.asarray(jax.tree.leaves(state.params)[0])
     assert np.isfinite(p2).all() and np.abs(p2 - p0).sum() > 0
+
+
+def test_s2d_wire_layout_matches_nhwc():
+    """input_layout="s2d" (host-packed stem wire format) must produce the
+    same step as flat-NHWC given the same underlying images."""
+    rng = np.random.default_rng(3)
+    from yolov4_tpu import native
+    from yolov4_tpu.models import build_model
+    from yolov4_tpu.optim import build_lr_schedule, build_optimizer
+    from yolov4_tpu.parallel import (create_mesh, create_train_state,
+                                     make_train_step)
+    from yolov4_tpu.ops.loss import build_criterion
+
+    cfg = load_config()
+    cfg["MODEL"]["COMPUTE_DTYPE"] = "float32"
+    s, b = 64, 8
+    model = build_model(cfg)
+    variables = init_variables(model, jax.random.PRNGKey(0), s)
+    criterion = build_criterion(cfg)
+    tx = build_optimizer(cfg, variables["params"])
+    schedule = build_lr_schedule(cfg, len_epoch=10)
+    mesh = create_mesh()
+
+    imgs = rng.random((b, s, s, 3)).astype(np.float32)
+    labels = np.zeros((b, 60, 5), np.float32)
+    labels[:, 0] = [20, 20, 24, 24, 3]
+    flat_nhwc = jnp.asarray(imgs.reshape(b, -1))
+    flat_s2d = jnp.asarray(native.pack_s2d_f32(imgs).reshape(b, -1))
+    labels = jnp.asarray(labels)
+
+    step_n = make_train_step(model, criterion, tx, schedule, mesh,
+                             img_size=s, input_layout="nhwc")
+    step_s = make_train_step(model, criterion, tx, schedule, mesh,
+                             img_size=s, input_layout="s2d")
+    # the step donates its state: give each run its own buffer copy
+    copy = lambda tree: jax.tree.map(jnp.array, tree)
+    st_n = step_n(create_train_state(copy(variables), tx), flat_nhwc, labels)
+    st_s = step_s(create_train_state(copy(variables), tx), flat_s2d, labels)
+    np.testing.assert_allclose(float(st_n.loss), float(st_s.loss),
+                               rtol=1e-5, atol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b_: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5),
+        st_n.params, st_s.params)

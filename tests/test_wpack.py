@@ -154,3 +154,37 @@ def test_wpack_odd_guard():
         for a, b in zip(p, w):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=2e-4, atol=2e-4)
+
+
+def test_predictor_s2d_wire_matches_planar():
+    """The s2d wire upload path produces the same detections as the
+    planar+device-transpose path (same model, same weights)."""
+    import numpy as np
+
+    from yolov4_tpu.config import load_config
+    from yolov4_tpu.engine.predictor import Predictor
+    from yolov4_tpu.models.yolov4 import init_variables
+    from yolov4_tpu.models import build_model
+
+    size, b = 64, 2
+    cfg = load_config()
+    cfg["MODEL"]["COMPUTE_DTYPE"] = "float32"
+    cfg["TEST"].update(PRE_NMS_TOPK=128, MAX_DETS=20)
+    variables = init_variables(build_model(cfg), jax.random.PRNGKey(0), size)
+
+    p_wire = Predictor(cfg, variables=variables, img_size=size, batch_size=b,
+                       conf_thre=0.01, nms_thre=0.5)
+    assert p_wire._s2d_wire
+    cfg2 = load_config()
+    cfg2["MODEL"]["COMPUTE_DTYPE"] = "float32"
+    cfg2["TEST"].update(PRE_NMS_TOPK=128, MAX_DETS=20, S2D_WIRE=False)
+    p_plain = Predictor(cfg2, variables=variables, img_size=size,
+                        batch_size=b, conf_thre=0.01, nms_thre=0.5)
+    assert not p_plain._s2d_wire
+
+    rng = np.random.default_rng(7)
+    imgs = rng.integers(0, 256, (b, size, size, 3)).astype(np.uint8)
+    dw, vw = p_wire(imgs)
+    dp, vp = p_plain(imgs)
+    np.testing.assert_array_equal(vw, vp)
+    np.testing.assert_allclose(dw, dp, rtol=1e-5, atol=1e-4)

@@ -84,15 +84,34 @@ class Predictor:
                           else jax.device_put(variables))
 
         size = self.img_size
+        # s2d wire: the host packs bytes in the space-to-depth stem's own
+        # input layout ([B, S/2, S/2, 12] flat), so the device program
+        # skips the 3-channel relayout copies the planar upload needed
+        # (~1.3 ms/batch of the fwd trace). Same flat transfer length.
+        self._s2d_wire = bool(
+            cfg["MODEL"].get("S2D_STEM", True) in (True, "fused")
+            and cfg["TEST"].get("S2D_WIRE", True)
+            and size % 2 == 0)
+        s2d_wire = self._s2d_wire
 
         @partial(jax.jit, static_argnames=())
         def _run(variables, flat_images, conf_thre, nms_thre):
-            # Inputs arrive FLAT and PLANAR [B, 3*S*S]: a trailing dim of 3
-            # would be lane-padded 3->128 during host->device transfer (a
-            # ~40x tax), and interleaved HWC pays a device-side
-            # de-interleave that serializes with compute (measured ~2x e2e
-            # slowdown through the TPU tunnel). Planar NCHW uploads + a
-            # cheap device transpose are fastest.
+            # Inputs arrive FLAT [B, 3*S*S]: a trailing dim of 3 would be
+            # lane-padded 3->128 during host->device transfer (a ~40x
+            # tax). Layout on the wire is the s2d stem layout when the
+            # model runs the fused s2d stem (above), else planar NCHW +
+            # a cheap device transpose.
+            if s2d_wire:
+                images = flat_images.reshape(-1, size // 2, size // 2, 12)
+                if images.dtype == jnp.uint8:
+                    images = images.astype(jnp.float32) / 255.0
+                preds = self.model.apply(variables, images, train=False,
+                                         input_s2d=True)
+                return postprocess(
+                    preds, self.num_classes, conf_thre, nms_thre,
+                    pre_nms_topk=self.pre_nms_topk, max_dets=self.max_dets,
+                    topk_approx=self.topk_approx, cat_cap=self.cat_cap,
+                    return_relevant_count=self.count_relevant)
             images = flat_images.reshape(-1, 3, size, size)
             images = jnp.transpose(images, (0, 2, 3, 1))  # -> NHWC
             if images.dtype == jnp.uint8:
@@ -123,12 +142,15 @@ class Predictor:
             images = np.concatenate([images, pad])
         elif n > self.batch_size:
             raise ValueError(f"batch {n} exceeds compiled size {self.batch_size}")
-        if images.dtype == np.uint8:
-            from yolov4_tpu import native
-            planar = native.pack_planar_u8(images)  # C/OpenMP de-interleave
+        from yolov4_tpu import native
+        if self._s2d_wire:
+            packed = (native.pack_s2d_u8(images) if images.dtype == np.uint8
+                      else native.pack_s2d_f32(images))
+        elif images.dtype == np.uint8:
+            packed = native.pack_planar_u8(images)  # C/OpenMP de-interleave
         else:
-            planar = np.ascontiguousarray(images.transpose(0, 3, 1, 2))
-        flat = planar.reshape(self.batch_size, -1)
+            packed = np.ascontiguousarray(images.transpose(0, 3, 1, 2))
+        flat = packed.reshape(self.batch_size, -1)
         if self._in_sharding is not None:
             arr = jax.make_array_from_process_local_data(
                 self._in_sharding, flat)

@@ -107,6 +107,17 @@ class Trainer:
                 "dither": bool(aug["COLOR_DITHERING"]),
             }
             logger.info("device-side augmentation enabled")
+        # s2d wire layout for the image transfer (host packs the s2d stem's
+        # input order; kills the in-program 3-channel relayout copies —
+        # 2.56 ms/step of the 608/b8 train trace). One extra host repack
+        # per batch (native.pack_s2d_f32); TRAIN.TRANSFER_LAYOUT: "nhwc"
+        # opts out (e.g. host-core-starved machines).
+        self.transfer_layout = "nhwc"
+        if (cfg["TRAIN"].get("TRANSFER_LAYOUT", "s2d") == "s2d"
+                and self.device_aug is None
+                and cfg["MODEL"].get("S2D_STEM", True) in (True, "fused")
+                and cfg["TRAIN"]["IMGSIZE"] % 2 == 0):
+            self.transfer_layout = "s2d"
         self.train_step = None
         self._train_lockstep_done = False
         if not evaluate_only:
@@ -117,7 +128,8 @@ class Trainer:
                 img_size=cfg["TRAIN"]["IMGSIZE"], device_aug=self.device_aug,
                 aug_seed=seed,
                 skip_nonfinite=bool(cfg["TRAIN"].get("SKIP_NONFINITE_UPDATES",
-                                                     False)))
+                                                     False)),
+                input_layout=self.transfer_layout)
         self.state = create_train_state(variables, self.tx)
 
         self.start_epoch = cfg["TRAIN"]["START_EPOCH"]
@@ -165,6 +177,9 @@ class Trainer:
             planar = native.pack_planar_u8(imgs.reshape((-1,) + imgs.shape[2:]))
             flat = planar.reshape(b, -1)
         else:
+            if self.transfer_layout == "s2d":
+                from yolov4_tpu import native
+                imgs = native.pack_s2d_f32(np.ascontiguousarray(imgs))
             flat = np.ascontiguousarray(imgs).reshape(imgs.shape[0], -1)
             transfer = self.cfg["TRAIN"].get("TRANSFER_DTYPE", "bfloat16")
             if flat.dtype == np.float32 and transfer == "bfloat16":

@@ -74,7 +74,12 @@ class Backbone(nn.Module):
     wpack: Any = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False):
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 input_s2d: bool = False):
+        """input_s2d: x arrives in the space-to-depth wire layout
+        [B, H/2, W/2, 12] (host-packed, native.pack_s2d_u8) instead of
+        NHWC [B, H, W, 3]; requires the fused s2d stem. Skips the
+        in-program 3-channel relayout copies (~1.3-2.5 ms/batch)."""
         d, bx = self.dtype, self.bn_axis
         fused = self.pallas_csp
         if fused == "auto":
@@ -82,7 +87,11 @@ class Backbone(nn.Module):
             fused = jax.default_backend() == "tpu"
         fused = bool(fused) and not train
         mode = {False: "none", True: "fused"}.get(self.s2d, self.s2d)
-        even = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        in_h, in_w = x.shape[1], x.shape[2]
+        if input_s2d:
+            assert mode == "fused", "input_s2d requires the fused s2d stem"
+            in_h, in_w = in_h * 2, in_w * 2
+        even = in_h % 2 == 0 and in_w % 2 == 0
         if mode == "fused" and not even:
             mode = "none"  # keep/pre pair needs even dims
         stem_s2d = {"none": "none", "fused": "stride1_keep",
@@ -96,7 +105,7 @@ class Backbone(nn.Module):
             wpack = jax.default_backend() == "tpu"
         # packed stage1 needs even stage-1 dims (input multiple of 4 —
         # the model's multiple-of-32 contract covers it; guard anyway)
-        wpack = bool(wpack) and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
+        wpack = bool(wpack) and in_h % 4 == 0 and in_w % 4 == 0
         if wpack:
             base1_s2d = ("stride2_pre_wpack" if base1_s2d == "stride2_pre"
                          else "stride2_wpack")
@@ -104,7 +113,7 @@ class Backbone(nn.Module):
         w = lambda ch: scale_channels(ch, self.width)
         nb = lambda n: scale_blocks(n, self.depth)
         x = ConvBNAct(w(32), 3, 1, act="mish", dtype=d, name="stem", bn_axis=bx,
-                      s2d=stem_s2d)(x, train)
+                      s2d=stem_s2d)(x, train, input_s2d=input_s2d)
 
         x = CSPDownSample0(w(64), 3, 2, act="mish", dtype=d, name="stage1",
                            bn_axis=bx, s2d_base=base1_s2d,

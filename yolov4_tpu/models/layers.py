@@ -295,9 +295,16 @@ class ConvBNAct(nn.Module):
     bn_axis: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 input_s2d: bool = False) -> jnp.ndarray:
+        """input_s2d: the input already arrives in the space-to-depth wire
+        layout [B, H/2, W/2, 4*Ci] (host-packed; native.pack_s2d_u8) —
+        only valid for the "stride1_keep" stem mode, where it skips the
+        in-program space_to_depth and its relayout copies."""
         if self.act not in ACTIVATIONS:
             raise ValueError(f"{self.act} does not support.")
+        assert not input_s2d or self.s2d == "stride1_keep", \
+            "input_s2d requires the stride1_keep stem"
         pad = (self.kernel_size - 1) // 2
         if self.s2d == "none":
             x = nn.Conv(
@@ -321,7 +328,8 @@ class ConvBNAct(nn.Module):
                 ("stride2_pre_wpack", 2), ("stride2_wpack", 2),
                 ("stride2_from_wpack", 2))
             cin = (x.shape[-1] // 4
-                   if self.s2d in ("stride2_pre", "stride2_pre_wpack")
+                   if input_s2d
+                   or self.s2d in ("stride2_pre", "stride2_pre_wpack")
                    else x.shape[-1] // 2 if self.s2d == "stride2_from_wpack"
                    else x.shape[-1])
             kernel = _ConvKernel((3, 3, cin, self.out_ch), name="conv")()
@@ -336,8 +344,8 @@ class ConvBNAct(nn.Module):
             elif self.s2d in ("stride1", "stride1_keep"):
                 w = _s2d_stride1_kernel(kernel).astype(self.dtype)
                 x = jax.lax.conv_general_dilated(
-                    space_to_depth(x), w, (1, 1), [(1, 1), (1, 1)],
-                    dimension_numbers=dn)
+                    x if input_s2d else space_to_depth(x), w, (1, 1),
+                    [(1, 1), (1, 1)], dimension_numbers=dn)
                 if self.s2d == "stride1":
                     x = depth_to_space(x)
             elif self.s2d in ("stride2_pre_wpack", "stride2_wpack"):

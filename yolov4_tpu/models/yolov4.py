@@ -51,8 +51,10 @@ class YOLOv4(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
-                 decode: bool = True):
-        """x: [B, H, W, 3] NHWC, H == W, multiple of 32.
+                 decode: bool = True, input_s2d: bool = False):
+        """x: [B, H, W, 3] NHWC, H == W, multiple of 32 — or, with
+        input_s2d, the space-to-depth wire layout [B, H/2, W/2, 12]
+        (host-packed via native.pack_s2d_u8; requires the s2d stem).
 
         decode=False returns the three raw NHWC head maps (for custom
         postprocessing or export)."""
@@ -61,7 +63,8 @@ class YOLOv4(nn.Module):
                               s2d=self.s2d, pallas_csp=self.pallas_csp,
                               wpack=self.wpack,
                               width=self.width, depth=self.depth,
-                              name="backbone")(x, train)
+                              name="backbone")(x, train,
+                                               input_s2d=input_s2d)
         p1, p2, p3 = Neck(legacy_pools=self.legacy_spp_pools, dtype=self.dtype,
                           width=self.width, name="neck")(x3, x4, x5, train)
         raws = Head(n_classes=self.n_classes, dtype=self.dtype,

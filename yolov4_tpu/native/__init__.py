@@ -86,6 +86,40 @@ def pack_planar_u8(batch_u8: np.ndarray) -> np.ndarray:
     return out
 
 
+def pack_s2d_u8(batch_u8: np.ndarray) -> np.ndarray:
+    """uint8 NHWC [B, H, W, 3] -> s2d wire layout uint8 [B, H/2, W/2, 12]
+    (channel (dy*2+dx)*3+c = pixel (2y2+dy, 2x2+dx, c) — the exact input
+    layout of the space-to-depth stem)."""
+    batch_u8 = np.ascontiguousarray(batch_u8)
+    b, h, w, c = batch_u8.shape
+    assert c == 3 and h % 2 == 0 and w % 2 == 0, batch_u8.shape
+    ops = get_fastops()
+    if ops is None:
+        return np.ascontiguousarray(
+            batch_u8.reshape(b, h // 2, 2, w // 2, 2, 3)
+            .transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 12))
+    out = np.empty((b, h // 2, w // 2, 12), np.uint8)
+    ops.pack_s2d(batch_u8.reshape(-1), out.reshape(-1), b, h, w, 1)
+    return out
+
+
+def pack_s2d_f32(batch_f32: np.ndarray) -> np.ndarray:
+    """float32 NHWC [B, H, W, 3] -> s2d wire layout f32 [B, H/2, W/2, 12]
+    (same C kernel as pack_s2d_u8, elem_size=4; used by the training
+    transfer path)."""
+    batch_f32 = np.ascontiguousarray(batch_f32, np.float32)
+    b, h, w, c = batch_f32.shape
+    assert c == 3 and h % 2 == 0 and w % 2 == 0, batch_f32.shape
+    ops = get_fastops()
+    if ops is None:
+        return np.ascontiguousarray(
+            batch_f32.reshape(b, h // 2, 2, w // 2, 2, 3)
+            .transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 12))
+    out = np.empty((b, h // 2, w // 2, 12), np.float32)
+    ops.pack_s2d(batch_f32.reshape(-1), out.reshape(-1), b, h, w, 4)
+    return out
+
+
 def coco_match_batch(ious_flat: np.ndarray, g_ignore: np.ndarray,
                      iscrowd: np.ndarray, d_outside: np.ndarray,
                      nd: np.ndarray, ng: np.ndarray,

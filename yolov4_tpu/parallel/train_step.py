@@ -61,7 +61,8 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
                     img_size: Optional[int] = None,
                     device_aug: Optional[Dict] = None,
                     aug_seed: int = 0,
-                    skip_nonfinite: bool = False) -> Callable:
+                    skip_nonfinite: bool = False,
+                    input_layout: str = "nhwc") -> Callable:
     """Returns jitted step(state, images, labels) -> state.
 
     images: [B_global, S, S, 3] float32 — or, when ``img_size`` is given,
@@ -69,6 +70,13 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
     normalized by /255) on device. Flat transfer avoids the 3->128 lane
     padding tax on host->device copies. labels: [B_global, K, 5]. Both
     sharded on the leading axis across the mesh.
+
+    input_layout: "nhwc" (flat planar NCHW semantics, reshaped+transposed
+    on device) or "s2d" — the flat bytes are already in the
+    space-to-depth stem's input order ([B, S/2, S/2, 12]; host packs via
+    native.pack_s2d_f32), skipping the in-program 3-channel relayout
+    copies (2.56 ms/step of the 608/b8 train trace). Requires the fused
+    s2d stem.
 
     device_aug: when given (dict of augment_batch kwargs minus size), the
     step consumes raw mosaic canvases instead: images = flat planar uint8
@@ -97,14 +105,23 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
                 key, canv, labels, size=img_size,
                 max_labels=labels.shape[2], **device_aug)
         elif img_size is not None:
-            images = images.reshape(-1, img_size, img_size, 3)
+            if input_layout == "s2d":
+                images = images.reshape(-1, img_size // 2, img_size // 2, 12)
+            else:
+                images = images.reshape(-1, img_size, img_size, 3)
             if images.dtype == jnp.uint8:
                 images = images.astype(jnp.float32) / 255.0
+
+        # pass input_s2d only when active: test/tiny models need not
+        # accept the kwarg unless the s2d wire layout is in use
+        apply_kw = ({"input_s2d": True}
+                    if input_layout == "s2d" and device_aug is None
+                    and img_size is not None else {})
 
         def loss_fn(params):
             outputs, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                images, train=True, mutable=["batch_stats"])
+                images, train=True, mutable=["batch_stats"], **apply_kw)
             loss = criterion(outputs, {"padded_labels": labels})
             return loss / accumulation_steps, mutated["batch_stats"]
 
