@@ -1,6 +1,7 @@
 """Postprocess / NMS tests: analytic cases + parity vs reference."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -151,6 +152,34 @@ def test_approx_topk_plumbing(rng):
     np.testing.assert_array_equal(np.asarray(exact[1]), np.asarray(approx[1]))
     np.testing.assert_allclose(np.asarray(exact[0]), np.asarray(approx[0]),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_exact_topk_partial_reduce(rng):
+    """The default (exact) candidate selection uses approx_max_k with
+    recall_target=1.0 (_exact_top_k). Its selected VALUES must equal
+    lax.top_k's on adversarial layouts (clustered winners, strided combs,
+    ties, ramps). On this CPU backend it lowers to the exact sort
+    fallback; the on-chip exactness evidence for the PartialReduce
+    lowering is tools/exp_topk.py (documented in docs/PERF.md)."""
+    from yolov4_tpu.ops.postprocess import _exact_top_k
+
+    n, k = 8192, 512
+    cases = []
+    for off in (0, 1024, n - k):
+        a = np.full((2, n), -1.0, np.float32)
+        a[:, off:off + k] = rng.random((2, k)).astype(np.float32) + 1.0
+        cases.append(a)
+    a = np.full((2, n), 0.5, np.float32)
+    cases.append(a)  # all ties
+    cases.append(np.tile(np.linspace(2.0, 1.0, n, dtype=np.float32), (2, 1)))
+    cases.append(rng.random((2, n)).astype(np.float32))
+    for arr in cases:
+        rv, _ = jax.lax.top_k(jnp.asarray(arr), k)
+        av, ai = _exact_top_k(jnp.asarray(arr), k)
+        np.testing.assert_array_equal(np.asarray(rv), np.asarray(av))
+        # indices must reference the reported values
+        gathered = np.take_along_axis(arr, np.asarray(ai), axis=1)
+        np.testing.assert_array_equal(gathered, np.asarray(av))
 
 
 def test_blocked_nms_matches_host_oracle(rng):

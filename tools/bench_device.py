@@ -37,12 +37,23 @@ from yolov4_tpu.ops.postprocess import postprocess  # noqa: E402
 def timed(fn, args, iters=20, windows=5):
     out = fn(*args)
     jax.block_until_ready(out)  # compile
+
+    # VALUE-fetch sync: on this backend block_until_ready can return
+    # before the device finishes (first seen on donated programs, r3 also
+    # observed on plain repeated dispatches — a 30 ms program "measured"
+    # 0.6 ms). np.asarray of an output leaf must produce real data and
+    # cannot lie; the fetched leaf is small (<=50 KB) so the one RTT per
+    # window is noise at iters=20.
+    def fetch(o):
+        leaf = jax.tree.leaves(o)[0]
+        np.asarray(leaf[(0,) * leaf.ndim])  # scalar slice: 4-byte RTT
+
     rates = []
     for _ in range(windows):
         t0 = time.time()
         for _ in range(iters):
             out = fn(*args)
-        jax.block_until_ready(out)
+        fetch(out)
         rates.append((time.time() - t0) / iters)
     return float(np.median(rates)) * 1000.0  # ms/iter
 

@@ -34,6 +34,23 @@ from yolov4_tpu.ops.boxes import cxcywh_to_xyxy
 from yolov4_tpu.ops.nms import greedy_nms_mask
 
 
+def _exact_top_k(x: jnp.ndarray, k: int):
+    """Exact top-k via the TPU PartialReduce op instead of a full sort.
+
+    ``lax.approx_max_k`` with ``recall_target=1.0`` is EXACT — XLA plans
+    the partial-reduce output size so no member of the true top-k can be
+    dropped — and measured 0.82x ``lax.top_k``'s variadic sort at the
+    serving shape ([16, 163840] -> 2048 on v5e; tools/exp_topk.py, incl.
+    adversarial cases: all winners clustered in one span, strided combs,
+    all-equal ties, descending ramps — bit-identical selected values).
+    Non-TPU backends lower it to the exact sort fallback. Among EXACTLY
+    tied scores the selected index order may differ from lax.top_k's;
+    detection scores are f32 products where ties only arise from
+    degenerate duplicates.
+    """
+    return jax.lax.approx_max_k(x, k, recall_target=1.0)
+
+
 def _rank_in_class(cls_idx: jnp.ndarray, scores: jnp.ndarray,
                    keep: jnp.ndarray, num_classes: int) -> jnp.ndarray:
     """Within-class descending-score rank of each kept row.
@@ -118,7 +135,7 @@ def postprocess(predictions: jnp.ndarray, num_classes: int,
     # instead pick the top K boxes by their best pair score (a pair's score
     # is bounded by its box's best), then top-K pairs among those boxes.
     # Exact whenever <= K boxes carry any above-threshold pair.
-    top_k = (jax.lax.approx_max_k if topk_approx else jax.lax.top_k)
+    top_k = (jax.lax.approx_max_k if topk_approx else _exact_top_k)
     k_box = min(pre_nms_topk, n)
     best_per_box = obj * jnp.max(cls_prob, axis=-1)             # [B, N]
     _, box_sel = top_k(best_per_box, k_box)                     # [B, Kb]
