@@ -156,6 +156,23 @@ def test_wpack_odd_guard():
                                        rtol=2e-4, atol=2e-4)
 
 
+def test_wpack_spans_match_plain():
+    """Explicit spans: "stage1" (stage1 only) and "stage12" both match
+    the plain backbone; a %4-but-not-%8 input silently falls back to the
+    stage1-only span (stage2 packing needs input %8)."""
+    rng = np.random.default_rng(5)
+    for size, span in ((64, "stage1"), (64, "stage12"), (36, "stage12")):
+        x = jnp.asarray(rng.standard_normal((1, size, size, 3)), jnp.float32)
+        plain = Backbone(s2d=True, wpack=False)
+        packed = Backbone(s2d=True, wpack=span)
+        variables = jax.jit(plain.init)(jax.random.PRNGKey(0), x)
+        p = jax.jit(plain.apply)(variables, x)
+        w = jax.jit(packed.apply)(variables, x)
+        for a, b in zip(p, w):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-4, atol=2e-4)
+
+
 def test_predictor_s2d_wire_matches_planar():
     """The s2d wire upload path produces the same detections as the
     planar+device-transpose path (same model, same weights)."""

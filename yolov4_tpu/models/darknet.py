@@ -65,12 +65,16 @@ class Backbone(nn.Module):
     # VMEM). False | True | "auto" (= on when running on TPU). Exactly
     # equivalent math (BN running stats folded), checkpoint-compatible.
     pallas_csp: Any = False
-    # lane packing for stage1 (C=64 at stride 4, the VPU-Mish/MXU-row-bound
-    # stage): two image columns per 128-lane vector, block-structured
-    # kernels, exit folded into stage2's base conv. Mathematically
-    # equivalent, checkpoint-compatible (layers._wpack_* / _WPackConvBN).
-    # False | True | "auto" (= on when running on TPU). Measured 0.478x
-    # the plain stage1 op mix at 608/b16 (tools/exp_wpack.py).
+    # lane packing for the low-channel stages (C=64 interiors leave half
+    # the VPU's 128 lanes idle on Mish/BN and half the MXU's contracting
+    # rows on K=64 dots): two image columns per 128-lane vector,
+    # block-structured kernels, boundaries folded into the strided base
+    # convs. Mathematically equivalent, checkpoint-compatible
+    # (layers._wpack_* / _WPackConvBN). Values:
+    #   False;  "stage1" (stage1 only);  "stage12" (stage1+stage2, whose
+    #   CSP interior also runs at C=64);  True/"auto" (on-TPU default
+    #   span). Measured 0.478x the plain stage1 op mix at 608/b16
+    #   (tools/exp_wpack.py).
     wpack: Any = False
 
     @nn.compact
@@ -102,14 +106,20 @@ class Backbone(nn.Module):
         wpack = self.wpack
         if wpack == "auto":
             import jax
-            wpack = jax.default_backend() == "tpu"
-        # packed stage1 needs even stage-1 dims (input multiple of 4 —
-        # the model's multiple-of-32 contract covers it; guard anyway)
-        wpack = bool(wpack) and in_h % 4 == 0 and in_w % 4 == 0
+            wpack = "stage12" if jax.default_backend() == "tpu" else False
+        elif wpack is True:
+            wpack = "stage12"
+        # packed stage1 needs even stage-1 dims (input multiple of 4;
+        # the packed stage2 needs multiple of 8 — the model's
+        # multiple-of-32 contract covers both; guard anyway)
+        if wpack and not (in_h % 4 == 0 and in_w % 4 == 0):
+            wpack = False
+        wpack2 = wpack == "stage12" and in_h % 8 == 0 and in_w % 8 == 0
         if wpack:
             base1_s2d = ("stride2_pre_wpack" if base1_s2d == "stride2_pre"
                          else "stride2_wpack")
-            base2_s2d = "stride2_from_wpack"
+            base2_s2d = "stride2_w2w" if wpack2 else "stride2_from_wpack"
+        base3_s2d = "stride2_from_wpack" if wpack2 else "none"
         w = lambda ch: scale_channels(ch, self.width)
         nb = lambda n: scale_blocks(n, self.depth)
         x = ConvBNAct(w(32), 3, 1, act="mish", dtype=d, name="stem", bn_axis=bx,
@@ -121,9 +131,11 @@ class Backbone(nn.Module):
                            wpack=wpack)(x, train)
         x = CSPDownSample(w(128), 3, 2, num_blocks=nb(2), act="mish", dtype=d,
                           name="stage2", bn_axis=bx, s2d_base=base2_s2d,
-                          fused=fused)(x, train)
+                          fused=fused and not wpack2,
+                          wpack=wpack2)(x, train)
         x3 = CSPDownSample(w(256), 3, 2, num_blocks=nb(8), act="mish", dtype=d,
-                           bn_axis=bx, name="stage3", fused=fused)(x, train)
+                           bn_axis=bx, name="stage3", s2d_base=base3_s2d,
+                           fused=fused)(x, train)
         x4 = CSPDownSample(w(512), 3, 2, num_blocks=nb(8), act="mish", dtype=d,
                            bn_axis=bx, name="stage4")(x3, train)
         x5 = CSPDownSample(w(1024), 3, 2, num_blocks=nb(4), act="mish", dtype=d,

@@ -179,6 +179,29 @@ def _wpack_entry_s2d_kernel(w2: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def _wpack_s2_w2w_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """[3,3,Ci,Co] stride-2 kernel -> [3,3,2Ci,2Co] over W-PACKED input
+    producing W-PACKED output, stride (2,2), pad ((1,1),(1,1)): both
+    spatial dims halve and the result stays packed (stage-N base conv
+    when stage N-1 and stage N both run packed).
+
+    Out packed col j sub0 = orig x'=2j, tapping orig {4j-1,4j,4j+1} =
+    packed (2j-1,s1), (2j,s0), (2j,s1); sub1 = orig x'=2j+1, tapping
+    {4j+1,4j+2,4j+3} = packed (2j,s1), (2j+1,s0), (2j+1,s1). With the
+    3-wide stride-2 window over packed cols {2j-1, 2j, 2j+1}, 6 of 12
+    blocks are nonzero."""
+    _, _, ci, co = w.shape
+    out = jnp.zeros((3, 3, 2 * ci, 2 * co), w.dtype)
+    for dy in range(3):
+        out = out.at[dy, 0, ci:, :co].set(w[dy, 0])
+        out = out.at[dy, 1, :ci, :co].set(w[dy, 1])
+        out = out.at[dy, 1, ci:, :co].set(w[dy, 2])
+        out = out.at[dy, 1, ci:, co:].set(w[dy, 0])
+        out = out.at[dy, 2, :ci, co:].set(w[dy, 1])
+        out = out.at[dy, 2, ci:, co:].set(w[dy, 2])
+    return out
+
+
 def _wpack_exit_s2_kernel(w: jnp.ndarray) -> jnp.ndarray:
     """[3,3,Ci,Co] stride-2 kernel -> [3,2,2Ci,Co] over W-PACKED input,
     stride (2,1), pad ((1,1),(1,0)): plain (unpacked) stride-2 output.
@@ -326,11 +349,12 @@ class ConvBNAct(nn.Module):
                 ("stride1", 1), ("stride2", 2),
                 ("stride1_keep", 1), ("stride2_pre", 2),
                 ("stride2_pre_wpack", 2), ("stride2_wpack", 2),
-                ("stride2_from_wpack", 2))
+                ("stride2_from_wpack", 2), ("stride2_w2w", 2))
             cin = (x.shape[-1] // 4
                    if input_s2d
                    or self.s2d in ("stride2_pre", "stride2_pre_wpack")
-                   else x.shape[-1] // 2 if self.s2d == "stride2_from_wpack"
+                   else x.shape[-1] // 2
+                   if self.s2d in ("stride2_from_wpack", "stride2_w2w")
                    else x.shape[-1])
             kernel = _ConvKernel((3, 3, cin, self.out_ch), name="conv")()
             x = x.astype(self.dtype)
@@ -363,6 +387,12 @@ class ConvBNAct(nn.Module):
                 w = _wpack_exit_s2_kernel(kernel).astype(self.dtype)
                 x = jax.lax.conv_general_dilated(
                     x, w, (2, 1), [(1, 1), (1, 0)], dimension_numbers=dn)
+            elif self.s2d == "stride2_w2w":
+                # stride-2 downsample, W-packed in -> W-packed out (both
+                # this stage and the previous one run lane-packed)
+                w = _wpack_s2_w2w_kernel(kernel).astype(self.dtype)
+                x = jax.lax.conv_general_dilated(
+                    x, w, (2, 2), [(1, 1), (1, 1)], dimension_numbers=dn)
             else:
                 w = _s2d_stride2_kernel(kernel).astype(self.dtype)
                 if self.s2d == "stride2":
@@ -372,7 +402,8 @@ class ConvBNAct(nn.Module):
         if self.bn and self.s2d == "stride1_keep":
             x = _TiledBN(self.out_ch, phases=4, dtype=self.dtype,
                          bn_axis=self.bn_axis, name="norm")(x, train)
-        elif self.bn and self.s2d in ("stride2_pre_wpack", "stride2_wpack"):
+        elif self.bn and self.s2d in ("stride2_pre_wpack", "stride2_wpack",
+                                      "stride2_w2w"):
             x = _TiledBN(self.out_ch, phases=2, dtype=self.dtype,
                          bn_axis=self.bn_axis, name="norm")(x, train)
         elif self.bn:
@@ -425,6 +456,31 @@ class _WPackConvBN(nn.Module):
         x = _TiledBN(self.cout, phases=2, dtype=self.dtype,
                      bn_axis=self.bn_axis, name="norm")(x, train)
         return ACTIVATIONS[self.act](x)
+
+
+class _WPackResBlock(nn.Module):
+    """ResBlock over W-PACKED tensors (parameter paths identical to
+    ResBlock: module_list_{i}_0 1x1 + module_list_{i}_1 3x3 with residual
+    adds — elementwise ops are layout-agnostic)."""
+
+    ch: int
+    num_blocks: int = 1
+    shortcut: bool = True
+    act: str = "mish"
+    dtype: Any = jnp.float32
+    bn_axis: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        for i in range(self.num_blocks):
+            h = _WPackConvBN(self.ch, self.ch, 1, act=self.act,
+                             dtype=self.dtype, bn_axis=self.bn_axis,
+                             name=f"module_list_{i}_0")(x, train)
+            h = _WPackConvBN(self.ch, self.ch, 3, act=self.act,
+                             dtype=self.dtype, bn_axis=self.bn_axis,
+                             name=f"module_list_{i}_1")(h, train)
+            x = x + h if self.shortcut else h
+        return x
 
 
 class _BNFold(nn.Module):
@@ -600,11 +656,34 @@ class CSPDownSample(nn.Module):
     s2d_base: str = "none"  # "none" | "stride2" | "stride2_pre"
     bn_axis: Any = None
     fused: bool = False  # eval-only fused Pallas stage body (see CSPDownSample0)
+    # lane packing (see CSPDownSample0.wpack): base conv consumes the
+    # previous stage's W-PACKED output and emits packed ("stride2_w2w");
+    # the whole stage body runs packed and the OUTPUT STAYS PACKED for
+    # the next stage's "stride2_from_wpack" (or another packed stage).
+    wpack: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         c, a, d = self.out_ch, self.act, self.dtype
         bx = self.bn_axis
+        if self.wpack:
+            assert self.s2d_base == "stride2_w2w", self.s2d_base
+            c2 = c // 2
+            x = ConvBNAct(c, self.kernel_size, self.stride, act=a, dtype=d,
+                          name="base", bn_axis=bx, s2d=self.s2d_base)(x, train)
+            x1 = _WPackConvBN(c, c2, 1, act=a, dtype=d, bn_axis=bx,
+                              name="part1")(x, train)
+            x2 = _WPackConvBN(c, c2, 1, act=a, dtype=d, bn_axis=bx,
+                              name="part2_0")(x, train)
+            x2 = _WPackResBlock(c2, num_blocks=self.num_blocks,
+                                shortcut=self.shortcut, act=a, dtype=d,
+                                bn_axis=bx, name="part2_1")(x2, train)
+            x2 = _WPackConvBN(c2, c2, 1, act=a, dtype=d, bn_axis=bx,
+                              name="part2_2")(x2, train)
+            cat = jnp.concatenate([x2, x1], axis=-1)
+            return _WPackConvBN(c, c, 1, act=a, dtype=d, bn_axis=bx,
+                                concat_ca=c2, name="transition")(cat, train)
+
         x = ConvBNAct(c, self.kernel_size, self.stride, act=a, dtype=d, name="base",
                       bn_axis=bx, s2d=self.s2d_base)(x, train)
 
