@@ -51,6 +51,33 @@ def test_raw_head_outputs(small_model_and_vars):
         (1, 8, 8, 255), (1, 4, 4, 255), (1, 2, 2, 255)]
 
 
+def test_split_head_matches_fused(small_model_and_vars):
+    """MODEL.SPLIT_HEAD (per-anchor output-conv slices + transpose-free
+    decode) must produce the fused path's predictions exactly, from the
+    same parameter tree."""
+    model, variables = small_model_and_vars
+    cfg = load_config()
+    cfg["MODEL"]["COMPUTE_DTYPE"] = "float32"
+    cfg["MODEL"]["SPLIT_HEAD"] = True
+    split = build_model(cfg)
+    shapes = jax.tree_util.tree_map(lambda a: a.shape, variables)
+    assert shapes == jax.tree_util.tree_map(
+        lambda a: a.shape,
+        init_variables(split, jax.random.PRNGKey(0), img_size=64))
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    fused = np.asarray(model.apply(variables, x, train=False))
+    got = np.asarray(split.apply(variables, x, train=False))
+    np.testing.assert_array_equal(got, fused)
+    # train path is byte-identical code (split applies at eval only)
+    o0, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    o1, _ = split.apply(variables, x, train=True, mutable=["batch_stats"])
+    for a, b in zip(o0, o1):
+        np.testing.assert_array_equal(np.asarray(a["output"]),
+                                      np.asarray(b["output"]))
+
+
 def test_decode_grid_offsets():
     """Decoded xy at zero logits must be cell_center + 0.5 within each cell."""
     f = 4

@@ -52,12 +52,20 @@ DEFAULTS: Dict[str, Dict[str, Any]] = {
         # fused Pallas CSP stage bodies at eval (stage1-3): False | True |
         # "auto" (on TPU only). Equivalent math, checkpoint-compatible.
         "PALLAS_CSP": False,
-        # stage1 lane packing (two image columns per 128-lane vector):
-        # False | True | "auto" (on TPU only). Equivalent math,
-        # checkpoint-compatible. Measured on chip at 608: full-model
-        # eval forward 0.860x (bit-identical outputs), train step
-        # 0.833x (58 -> 47.5 ms device) — default on for TPU.
+        # lane packing (two image columns per 128-lane vector) for the
+        # C=64 stages: False | "stage1" | "stage12" | True | "auto"
+        # (= "stage12" on TPU). Equivalent math, checkpoint-compatible.
+        # Measured on chip at 608: full-model eval forward 0.860x
+        # (bit-identical), train step 0.833x (58 -> 47.5 ms device) for
+        # stage1; stage12 adds train 0.966x — default on for TPU.
         "WPACK": "auto",
+        # per-anchor output-conv split at EVAL (three 85-channel maps per
+        # scale, same params kernel-sliced at trace time): decode
+        # flattens straight into the reference's anchor-major candidate
+        # order with no transpose copies. False | True | "auto" (on TPU
+        # only). Measured 0.958x full fwd+decode at 608/b16,
+        # bit-identical outputs (tools/exp_split_head.py).
+        "SPLIT_HEAD": "auto",
     },
     "CRITERION": {
         "TYPE": "YOLOLoss",

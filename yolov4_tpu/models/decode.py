@@ -94,15 +94,48 @@ def decode_layer(raw: jnp.ndarray, anchors_grid: jnp.ndarray, layer_no: int,
     return flat.reshape(b, n_anchors * fh * fw, n_ch)
 
 
-def decode_all(raws: List[jnp.ndarray], anchors: Sequence[Sequence[float]],
+def decode_layer_split(raws_a: Sequence[jnp.ndarray],
+                       anchors_grid: jnp.ndarray,
+                       layer_no: int) -> jnp.ndarray:
+    """Eval decode of one scale from PER-ANCHOR head maps (Head
+    anchor_split=True): each [B, f_h, f_w, 5+C] map decodes in its natural
+    layout and flattens to [B, f_h*f_w, 5+C]; concatenating over anchors
+    yields exactly the fused path's anchor-major candidate order with no
+    [B,f,f,A,C] -> [B,A,f,f,C] transpose materialized."""
+    stride = STRIDES[layer_no]
+    dtype = jnp.float32
+    outs = []
+    for a, raw in enumerate(raws_a):
+        x = raw.astype(dtype)
+        b, fh, fw, n_ch = x.shape
+        txy = jax.nn.sigmoid(x[..., 0:2])
+        twh = x[..., 2:4]
+        objcls = jax.nn.sigmoid(x[..., 4:])
+        cx = jax.lax.broadcasted_iota(dtype, (b, fh, fw), 2)
+        cy = jax.lax.broadcasted_iota(dtype, (b, fh, fw), 1)
+        grid = jnp.stack([cx, cy], axis=-1)           # [B, fh, fw, 2]
+        anc = anchors_grid[a].astype(dtype).reshape(1, 1, 1, 2)
+        boxes = jnp.concatenate([txy + grid, jnp.exp(twh) * anc],
+                                axis=-1) * stride
+        flat = jnp.concatenate([boxes, objcls], axis=-1)
+        outs.append(flat.reshape(b, fh * fw, n_ch))
+    return jnp.concatenate(outs, axis=1)
+
+
+def decode_all(raws: List, anchors: Sequence[Sequence[float]],
                anchor_mask: Sequence[Sequence[int]], training: bool):
     """Decode all three scales. Training: list of per-layer dicts (order
     preserved). Eval: concatenated [B, sum_l A*f_l^2, 5+C]
-    (reference yolov4.py:321-324)."""
+    (reference yolov4.py:321-324). A scale given as a tuple/list of
+    per-anchor maps (Head anchor_split) uses the transpose-free path."""
     outs = []
     for layer_no, raw in enumerate(raws):
         anc = jnp.asarray(masked_anchors(anchors, anchor_mask, layer_no))
-        outs.append(decode_layer(raw, anc, layer_no, training))
+        if isinstance(raw, (tuple, list)):
+            assert not training, "anchor_split decode is eval-only"
+            outs.append(decode_layer_split(raw, anc, layer_no))
+        else:
+            outs.append(decode_layer(raw, anc, layer_no, training))
     if training:
         return outs
     return jnp.concatenate(outs, axis=1)

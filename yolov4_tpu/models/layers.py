@@ -227,6 +227,23 @@ class _ConvKernel(nn.Module):
         return self.param("kernel", conv_kernel_init, self.shape, jnp.float32)
 
 
+class _ConvKernelBias(nn.Module):
+    """Bare conv kernel + bias parameters, path-compatible with a biased
+    nn.Conv (name='conv' -> params 'conv/kernel' + 'conv/bias', same
+    shapes and inits). Used by paths that rearrange or slice the weights
+    at trace time instead of calling nn.Conv."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self) -> tuple:
+        kernel = self.param("kernel", conv_kernel_init, self.shape,
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.shape[-1],),
+                          jnp.float32)
+        return kernel, bias
+
+
 class _TiledBN(nn.Module):
     """BatchNorm over a space-to-depth-tiled channel axis: the input's
     4*ch channels are (phase, c) views of a full-resolution ch-channel

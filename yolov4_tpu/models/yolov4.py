@@ -42,6 +42,12 @@ class YOLOv4(nn.Module):
     s2d: Any = True  # space-to-depth stem lowering (see darknet.Backbone)
     pallas_csp: Any = False  # fused eval CSP stages (see darknet.Backbone)
     wpack: Any = False  # stage1 lane packing (see darknet.Backbone)
+    # per-anchor output-conv split at EVAL: the head emits three 85-channel
+    # maps per scale (same params, kernel sliced at trace time) so decode
+    # flattens straight into the reference's anchor-major candidate order
+    # with no transpose copies (see models/head.py). False | True |
+    # "auto" (on TPU only). Train path is unchanged either way.
+    split_head: Any = False
     # width/depth multipliers (1.0 = the reference architecture exactly;
     # see darknet.scale_channels/scale_blocks). Smaller values build
     # topology-identical reduced variants, e.g. for smoke-scale sharding
@@ -67,8 +73,12 @@ class YOLOv4(nn.Module):
                                                input_s2d=input_s2d)
         p1, p2, p3 = Neck(legacy_pools=self.legacy_spp_pools, dtype=self.dtype,
                           width=self.width, name="neck")(x3, x4, x5, train)
+        split = self.split_head
+        if split == "auto":
+            split = jax.default_backend() == "tpu"
         raws = Head(n_classes=self.n_classes, dtype=self.dtype,
-                    width=self.width, name="head")(p1, p2, p3, train)
+                    width=self.width, anchor_split=bool(split),
+                    name="head")(p1, p2, p3, train)
         if not decode:
             return raws
         return decode_all(list(raws), self.anchors, self.anchor_mask, training=train)
@@ -88,6 +98,7 @@ def build_model(cfg: Dict) -> YOLOv4:
         s2d=model_cfg.get("S2D_STEM", True),
         pallas_csp=model_cfg.get("PALLAS_CSP", False),
         wpack=model_cfg.get("WPACK", False),
+        split_head=model_cfg.get("SPLIT_HEAD", False),
         width=float(model_cfg.get("WIDTH", 1.0)),
         depth=float(model_cfg.get("DEPTH", 1.0)),
     )
