@@ -1,0 +1,127 @@
+"""Int8 serving quantization (MODEL.QUANT "int8"; layers._quant_conv).
+
+The quant path is an OPT-IN serving mode, not reference-exact: eval-time
+convs in backbone stages 3-5 + neck + head hidden layers run s8xs8->s32
+with BN folded, per-output-channel weight scales, and dynamic per-tensor
+activation scales. These tests pin the mechanics:
+
+  * single-layer quantization error is bounded by the scale quantum,
+  * the parameter/batch-stat tree is byte-identical to the plain model
+    (checkpoints shared),
+  * the train path is untouched (bit-identical outputs + stats updates),
+  * the full model runs and stays finite.
+
+Accuracy on a TRAINED model is measured on hardware by
+tools/overfit_smoke.py --quant-eval (random-init nets are too
+ill-conditioned for meaningful end-to-end error bounds — BN-scale init
+~N(0,0.01) underflows activations to exact zeros by stage 3).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolov4_tpu.config import load_config
+from yolov4_tpu.models import build_model
+from yolov4_tpu.models.layers import ConvBNAct
+from yolov4_tpu.models.yolov4 import init_variables
+
+
+def _variables_for(module, x, rng=0):
+    return module.init({"params": jax.random.PRNGKey(rng)}, x, train=False)
+
+
+def _realistic_bn(variables, seed=1):
+    """Replace BN params/stats with trained-model-like magnitudes."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(variables)
+    rng = np.random.default_rng(seed)
+    for k in list(flat):
+        if k[-1] == "scale":
+            flat[k] = jnp.asarray(
+                1.0 + 0.1 * rng.standard_normal(flat[k].shape), jnp.float32)
+        elif k[-1] == "var":
+            flat[k] = jnp.asarray(
+                np.abs(1.0 + 0.2 * rng.standard_normal(flat[k].shape)) + 0.1,
+                jnp.float32)
+        elif k[-1] == "mean":
+            flat[k] = jnp.asarray(
+                0.1 * rng.standard_normal(flat[k].shape), jnp.float32)
+    return flax.traverse_util.unflatten_dict(flat)
+
+
+@pytest.mark.parametrize("ksize,stride", [(1, 1), (3, 1), (3, 2)])
+def test_single_layer_error_bound(ksize, stride):
+    """One quantized ConvBNAct stays within the quantization quantum of
+    the plain layer: |err| <= sx*sw_c * K/2-ish per output element; we
+    assert a conservative relative bound on well-scaled data."""
+    rng = np.random.default_rng(0)
+    ci, co, hw = 32, 48, 16
+    x = jnp.asarray(rng.standard_normal((2, hw, hw, ci)), jnp.float32)
+
+    plain = ConvBNAct(co, ksize, stride, act="leaky_relu")
+    quant = ConvBNAct(co, ksize, stride, act="leaky_relu", quant=True)
+    v = _realistic_bn(_variables_for(plain, x))
+
+    yp = np.asarray(plain.apply(v, x, train=False), np.float32)
+    yq = np.asarray(quant.apply(v, x, train=False), np.float32)
+    # error relative to the layer's activation scale
+    denom = max(np.abs(yp).max(), 1e-6)
+    rel = np.abs(yp - yq).max() / denom
+    assert rel < 0.05, rel
+    # and well-correlated
+    c = np.corrcoef(yp.ravel(), yq.ravel())[0, 1]
+    assert c > 0.999, c
+
+
+def test_param_tree_identical():
+    cfgq = load_config()
+    cfgq["MODEL"]["QUANT"] = "int8"
+    cfgq["MODEL"].update(WIDTH=0.25, DEPTH=0.25)
+    cfgp = load_config()
+    cfgp["MODEL"].update(WIDTH=0.25, DEPTH=0.25)
+    mq, mp = build_model(cfgq), build_model(cfgp)
+    vq = init_variables(mq, jax.random.PRNGKey(0), 64)
+    vp = init_variables(mp, jax.random.PRNGKey(0), 64)
+    eq = jax.tree.map(lambda a, b: bool((a == b).all()), vq, vp)
+    assert all(jax.tree.leaves(eq))
+
+
+def test_train_path_untouched():
+    """QUANT int8 must not change training numerics: same loss-relevant
+    outputs and same batch-stat updates, bit for bit."""
+    cfgq = load_config()
+    cfgq["MODEL"]["QUANT"] = "int8"
+    cfgq["MODEL"].update(WIDTH=0.25, DEPTH=0.25)
+    cfgp = load_config()
+    cfgp["MODEL"].update(WIDTH=0.25, DEPTH=0.25)
+    mq, mp = build_model(cfgq), build_model(cfgp)
+    v = init_variables(mp, jax.random.PRNGKey(0), 64)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+
+    oq, sq = mq.apply(v, x, train=True, mutable=["batch_stats"])
+    op, sp = mp.apply(v, x, train=True, mutable=["batch_stats"])
+    for a, b in zip(jax.tree.leaves(oq), jax.tree.leaves(op)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(sq), jax.tree.leaves(sp)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_full_model_runs_finite():
+    """Quantized eval forward runs end to end and stays finite (with
+    conditioned BN stats; random-scale nets can legitimately overflow)."""
+    cfg = load_config()
+    cfg["MODEL"]["QUANT"] = "int8"
+    cfg["MODEL"].update(WIDTH=0.25, DEPTH=0.25)
+    model = build_model(cfg)
+    v = init_variables(model, jax.random.PRNGKey(0), 64)
+    # leave init BN (tiny activations) — checks the all-zero edge case
+    # does not produce NaNs through the dynamic scales
+    x = jnp.asarray(np.random.default_rng(0).random((2, 64, 64, 3)),
+                    jnp.float32)
+    out = np.asarray(model.apply(v, x, train=False), np.float32)
+    assert out.shape[0] == 2 and out.shape[-1] == 85
+    assert np.isfinite(out).all()

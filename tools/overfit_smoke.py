@@ -43,6 +43,9 @@ def main():
     parser.add_argument("--img-size", type=int, default=320)
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--root", default="/tmp/coco_overfit")
+    parser.add_argument("--quant-eval", action="store_true",
+                        help="also evaluate the trained model with "
+                        "MODEL.QUANT int8 and report the AP delta")
     args = parser.parse_args()
     S, B = args.img_size, args.batch_size
 
@@ -90,6 +93,21 @@ def main():
                         predictor, verbose=False)
     print(f"final loss {float(state.loss):.1f}, train-set AP {ap:.3f} "
           f"AP50 {ap50:.3f} in {time.time() - t0:.0f}s")
+
+    if args.quant_eval:
+        import copy
+
+        qcfg = copy.deepcopy(dict(cfg))
+        qcfg["MODEL"]["QUANT"] = "int8"
+        qpred = Predictor(
+            qcfg, variables={"params": state.params,
+                             "batch_stats": state.batch_stats},
+            img_size=S, batch_size=B, conf_thre=0.3, nms_thre=0.4)
+        qap, qap50 = validate(DataLoader(val_ds, batch_size=B, shuffle=False),
+                              qpred, verbose=False)
+        print(f"int8 serving eval: AP {qap:.3f} (delta {qap - ap:+.4f}) "
+              f"AP50 {qap50:.3f} (delta {qap50 - ap50:+.4f})")
+
     assert ap50 > 0.9, "learning smoke failed"
 
 

@@ -87,6 +87,8 @@ def capture(trace_dir: str, img_size: int, batch: int, with_nms: bool,
         cfg = load_config()
         if pallas_csp:
             cfg["MODEL"]["PALLAS_CSP"] = True
+        if os.environ.get("YOLOV4_PROFILE_QUANT") == "1":
+            cfg["MODEL"]["QUANT"] = "int8"
         model = build_model(cfg)
         variables = jax.device_put(
             init_variables(model, jax.random.PRNGKey(0), img_size))

@@ -66,6 +66,14 @@ DEFAULTS: Dict[str, Dict[str, Any]] = {
         # only). Measured 0.958x full fwd+decode at 608/b16,
         # bit-identical outputs (tools/exp_split_head.py).
         "SPLIT_HEAD": "auto",
+        # int8 serving quantization: "none" (default) | "int8". Eval-time
+        # convs in backbone stages 3-5 + neck + head hidden layers run
+        # s8xs8->s32 on the MXU (BN folded, per-out-channel weight scales,
+        # dynamic per-tensor activation scales — layers._quant_conv).
+        # NOT reference-exact (quantization error); opt-in. Train path
+        # and checkpoints unchanged. Measured 0.50-0.64x bf16 per conv
+        # (tools/exp_int8.py).
+        "QUANT": "none",
     },
     "CRITERION": {
         "TYPE": "YOLOLoss",
@@ -183,6 +191,9 @@ class Config(dict):
                 raise ValueError(f"{key}.IMGSIZE must be a multiple of 32: {size}")
         if self["TRAIN"]["ACCUMULATION_STEPS"] < 1:
             raise ValueError("TRAIN.ACCUMULATION_STEPS must be >= 1")
+        if model.get("QUANT", "none") not in ("none", "int8"):
+            raise ValueError(
+                f"MODEL.QUANT must be 'none' or 'int8': {model['QUANT']}")
 
 
 def load_config(path: Optional[str] = None) -> Config:

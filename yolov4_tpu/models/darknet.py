@@ -76,6 +76,10 @@ class Backbone(nn.Module):
     #   span). Measured 0.478x the plain stage1 op mix at 608/b16
     #   (tools/exp_wpack.py).
     wpack: Any = False
+    # int8 serving quantization (MODEL.QUANT "int8"): stages 3-5 run
+    # eval-time convs s8xs8->s32 (layers._quant_conv). Stem/stage1/stage2
+    # keep the bf16 s2d/wpack path (VPU-Mish-bound + packed layouts).
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -135,11 +139,11 @@ class Backbone(nn.Module):
                           wpack=wpack2)(x, train)
         x3 = CSPDownSample(w(256), 3, 2, num_blocks=nb(8), act="mish", dtype=d,
                            bn_axis=bx, name="stage3", s2d_base=base3_s2d,
-                           fused=fused)(x, train)
+                           fused=fused, quant=self.quant)(x, train)
         x4 = CSPDownSample(w(512), 3, 2, num_blocks=nb(8), act="mish", dtype=d,
-                           bn_axis=bx, name="stage4")(x3, train)
+                           bn_axis=bx, quant=self.quant, name="stage4")(x3, train)
         x5 = CSPDownSample(w(1024), 3, 2, num_blocks=nb(4), act="mish", dtype=d,
-                           bn_axis=bx, name="stage5")(x4, train)
+                           bn_axis=bx, quant=self.quant, name="stage5")(x4, train)
 
         if self.return_pyramid:
             return x3, x4, x5

@@ -62,6 +62,7 @@ class Head(nn.Module):
     dtype: Any = jnp.float32
     width: float = 1.0  # scales hidden convs only; output convs stay 3*(5+C)
     anchor_split: bool = False  # per-anchor output maps (see module doc)
+    quant: bool = False  # int8 serving hidden convs (layers._quant_conv)
 
     @nn.compact
     def __call__(self, p1, p2, p3, train: bool = False):
@@ -71,9 +72,12 @@ class Head(nn.Module):
         out_ch = n_ch * self.n_anchors_per_scale
         split = self.anchor_split and not train
 
-        x1 = ConvBNAct(w(256), 3, 1, act="leaky_relu", dtype=d, name="yolo1_0")(p1, train)
-        x2 = ConvBNAct(w(512), 3, 1, act="leaky_relu", dtype=d, name="yolo2_0")(p2, train)
-        x3 = ConvBNAct(w(1024), 3, 1, act="leaky_relu", dtype=d, name="yolo3_0")(p3, train)
+        x1 = ConvBNAct(w(256), 3, 1, act="leaky_relu", dtype=d,
+                       quant=self.quant, name="yolo1_0")(p1, train)
+        x2 = ConvBNAct(w(512), 3, 1, act="leaky_relu", dtype=d,
+                       quant=self.quant, name="yolo2_0")(p2, train)
+        x3 = ConvBNAct(w(1024), 3, 1, act="leaky_relu", dtype=d,
+                       quant=self.quant, name="yolo3_0")(p3, train)
 
         if split:
             x1 = _AnchorSplitOutConv(x1.shape[-1], n_ch,

@@ -294,6 +294,29 @@ class _TiledBN(nn.Module):
         return (x.astype(self.dtype) - mt) * st + bt
 
 
+def _quant_conv(x, kernel, bn_scale, bn_bias, stride, pad, out_dtype):
+    """Eval-only int8 conv: BN folded into the kernel, weights quantized
+    per-output-channel, activations per-tensor (dynamic abs-max), the conv
+    run s8 x s8 -> s32 on the MXU, then dequantized + biased in f32.
+
+    v5e int8 MACs run at 2x bf16; measured on chip (tools/exp_int8.py) the
+    whole quantize->conv->dequantize chain is 0.50-0.64x the bf16 conv at
+    every MXU-bound shape in this model. Accumulator safety: |sum| <=
+    9*2048*127^2 ~ 3e8 < 2^31 for every conv here.
+    """
+    wf = kernel * bn_scale  # [k,k,ci,co] f32, BN folded
+    sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2)), 1e-12) / 127.0
+    wq = jnp.round(wf / sw).astype(jnp.int8)
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, wq, (stride, stride), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * (sx * sw) + bn_bias).astype(out_dtype)
+
+
 class ConvBNAct(nn.Module):
     """Conv2d (same padding) + optional BatchNorm + activation
     (reference darknet.py:23-58).
@@ -333,6 +356,10 @@ class ConvBNAct(nn.Module):
     # reference's YOLO trainer behavior; its darknet pretrainer applies
     # apex SyncBN, darknet/main_amp.py:147-150)
     bn_axis: Any = None
+    # int8 serving quantization (MODEL.QUANT "int8", eval only): see
+    # _quant_conv. Applies to plain bias-free conv+BN layers; train mode,
+    # s2d/wpack-lowered convs, and the biased output convs keep bf16.
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -346,6 +373,14 @@ class ConvBNAct(nn.Module):
         assert not input_s2d or self.s2d == "stride1_keep", \
             "input_s2d requires the stride1_keep stem"
         pad = (self.kernel_size - 1) // 2
+        if (self.quant and not train and self.s2d == "none" and self.bn
+                and not self.bias):
+            kernel = _ConvKernel(
+                (self.kernel_size, self.kernel_size, x.shape[-1],
+                 self.out_ch), name="conv")()
+            s, b = _BNFold(self.out_ch, name="norm")()
+            x = _quant_conv(x, kernel, s, b, self.stride, pad, self.dtype)
+            return ACTIVATIONS[self.act](x)
         if self.s2d == "none":
             x = nn.Conv(
                 features=self.out_ch,
@@ -569,15 +604,16 @@ class ResBlock(nn.Module):
     act: str = "mish"
     dtype: Any = jnp.float32
     bn_axis: Any = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         for i in range(self.num_blocks):
             h = ConvBNAct(self.ch, 1, 1, act=self.act, dtype=self.dtype,
-                          bn_axis=self.bn_axis,
+                          bn_axis=self.bn_axis, quant=self.quant,
                           name=f"module_list_{i}_0")(x, train)
             h = ConvBNAct(self.ch, 3, 1, act=self.act, dtype=self.dtype,
-                          bn_axis=self.bn_axis,
+                          bn_axis=self.bn_axis, quant=self.quant,
                           name=f"module_list_{i}_1")(h, train)
             x = x + h if self.shortcut else h
         return x
@@ -678,6 +714,9 @@ class CSPDownSample(nn.Module):
     # the whole stage body runs packed and the OUTPUT STAYS PACKED for
     # the next stage's "stride2_from_wpack" (or another packed stage).
     wpack: bool = False
+    # int8 serving quantization of the stage's plain convs (eval only;
+    # see layers._quant_conv). Takes precedence over `fused`.
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -702,12 +741,12 @@ class CSPDownSample(nn.Module):
                                 concat_ca=c2, name="transition")(cat, train)
 
         x = ConvBNAct(c, self.kernel_size, self.stride, act=a, dtype=d, name="base",
-                      bn_axis=bx, s2d=self.s2d_base)(x, train)
+                      bn_axis=bx, s2d=self.s2d_base, quant=self.quant)(x, train)
 
         from yolov4_tpu.ops.csp_pallas import (fused_csp_stage,
                                                fused_csp_supported)
         if (self.fused and not train and self.act == "mish"
-                and self.shortcut
+                and self.shortcut and not self.quant
                 and fused_csp_supported(x.shape, self.num_blocks,
                                         dtype=x.dtype)):
             c2 = c // 2
@@ -725,12 +764,17 @@ class CSPDownSample(nn.Module):
                 x, folded, num_blocks=self.num_blocks,
                 interpret=jax.default_backend() != "tpu")
 
-        x1 = ConvBNAct(c // 2, 1, 1, act=a, dtype=d, bn_axis=bx, name="part1")(x, train)
+        q = self.quant
+        x1 = ConvBNAct(c // 2, 1, 1, act=a, dtype=d, bn_axis=bx, quant=q,
+                       name="part1")(x, train)
 
-        x2 = ConvBNAct(c // 2, 1, 1, act=a, dtype=d, bn_axis=bx, name="part2_0")(x, train)
+        x2 = ConvBNAct(c // 2, 1, 1, act=a, dtype=d, bn_axis=bx, quant=q,
+                       name="part2_0")(x, train)
         x2 = ResBlock(c // 2, num_blocks=self.num_blocks, shortcut=self.shortcut,
-                      act=a, dtype=d, bn_axis=bx, name="part2_1")(x2, train)
-        x2 = ConvBNAct(c // 2, 1, 1, act=a, dtype=d, bn_axis=bx, name="part2_2")(x2, train)
+                      act=a, dtype=d, bn_axis=bx, quant=q, name="part2_1")(x2, train)
+        x2 = ConvBNAct(c // 2, 1, 1, act=a, dtype=d, bn_axis=bx, quant=q,
+                       name="part2_2")(x2, train)
 
         x = jnp.concatenate([x2, x1], axis=-1)
-        return ConvBNAct(c, 1, 1, act=a, dtype=d, bn_axis=bx, name="transition")(x, train)
+        return ConvBNAct(c, 1, 1, act=a, dtype=d, bn_axis=bx, quant=q,
+                         name="transition")(x, train)

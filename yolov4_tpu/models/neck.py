@@ -98,14 +98,15 @@ class SPPBlock(nn.Module):
     legacy_pools: bool = True
     dtype: Any = jnp.float32
     width: float = 1.0
+    quant: bool = False  # int8 serving convs (layers._quant_conv)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         d = self.dtype
         w = lambda ch: scale_channels(ch, self.width)
-        x = ConvBNAct(w(512), 1, 1, act="leaky_relu", dtype=d, name="conv1_0")(x, train)
-        x = ConvBNAct(w(1024), 3, 1, act="leaky_relu", dtype=d, name="conv1_1")(x, train)
-        x = ConvBNAct(w(512), 1, 1, act="leaky_relu", dtype=d, name="conv1_2")(x, train)
+        x = ConvBNAct(w(512), 1, 1, act="leaky_relu", dtype=d, quant=self.quant, name="conv1_0")(x, train)
+        x = ConvBNAct(w(1024), 3, 1, act="leaky_relu", dtype=d, quant=self.quant, name="conv1_1")(x, train)
+        x = ConvBNAct(w(512), 1, 1, act="leaky_relu", dtype=d, quant=self.quant, name="conv1_2")(x, train)
 
         m1 = maxpool_same(x, 5)
         m2 = maxpool_same(x, 9)
@@ -113,7 +114,7 @@ class SPPBlock(nn.Module):
         m3 = maxpool_same(x, 5) if self.legacy_pools else maxpool_same(x, 13)
 
         x = jnp.concatenate([m3, m2, m1, x], axis=-1)
-        return ConvBNAct(w(512), 1, 1, act="leaky_relu", dtype=d, name="conv2")(x, train)
+        return ConvBNAct(w(512), 1, 1, act="leaky_relu", dtype=d, quant=self.quant, name="conv2")(x, train)
 
 
 class FPNBlock(nn.Module):
@@ -121,27 +122,28 @@ class FPNBlock(nn.Module):
 
     dtype: Any = jnp.float32
     width: float = 1.0
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x3, x4, x5, train: bool = False):
         d = self.dtype
         w = lambda ch: scale_channels(ch, self.width)
-        f3 = ConvBNAct(w(1024), 3, 1, act="leaky_relu", dtype=d, name="module1_0")(x5, train)
-        f3 = ConvBNAct(w(512), 1, 1, act="leaky_relu", dtype=d, name="module1_1")(f3, train)
+        f3 = ConvBNAct(w(1024), 3, 1, act="leaky_relu", dtype=d, quant=self.quant, name="module1_0")(x5, train)
+        f3 = ConvBNAct(w(512), 1, 1, act="leaky_relu", dtype=d, quant=self.quant, name="module1_1")(f3, train)
 
-        f2 = ConvBNAct(w(256), 1, 1, dtype=d, name="conv3")(f3, train)  # default act: leaky
+        f2 = ConvBNAct(w(256), 1, 1, dtype=d, quant=self.quant, name="conv3")(f3, train)  # default act: leaky
         f2 = upsample2x_nearest(f2)
-        x4 = ConvBNAct(w(256), 1, 1, act="leaky_relu", dtype=d, name="conv4")(x4, train)
+        x4 = ConvBNAct(w(256), 1, 1, act="leaky_relu", dtype=d, quant=self.quant, name="conv4")(x4, train)
         f2 = jnp.concatenate([x4, f2], axis=-1)
         for i, (ch, k) in enumerate([(256, 1), (512, 3), (256, 1), (512, 3), (256, 1)]):
-            f2 = ConvBNAct(w(ch), k, 1, act="leaky_relu", dtype=d, name=f"module2_{i}")(f2, train)
+            f2 = ConvBNAct(w(ch), k, 1, act="leaky_relu", dtype=d, quant=self.quant, name=f"module2_{i}")(f2, train)
 
-        f1 = ConvBNAct(w(128), 1, 1, dtype=d, name="conv10")(f2, train)
+        f1 = ConvBNAct(w(128), 1, 1, dtype=d, quant=self.quant, name="conv10")(f2, train)
         f1 = upsample2x_nearest(f1)
-        x3 = ConvBNAct(w(128), 1, 1, act="leaky_relu", dtype=d, name="conv11")(x3, train)
+        x3 = ConvBNAct(w(128), 1, 1, act="leaky_relu", dtype=d, quant=self.quant, name="conv11")(x3, train)
         f1 = jnp.concatenate([x3, f1], axis=-1)
         for i, (ch, k) in enumerate([(128, 1), (256, 3), (128, 1), (256, 3), (128, 1)]):
-            f1 = ConvBNAct(w(ch), k, 1, act="leaky_relu", dtype=d, name=f"module3_{i}")(f1, train)
+            f1 = ConvBNAct(w(ch), k, 1, act="leaky_relu", dtype=d, quant=self.quant, name=f"module3_{i}")(f1, train)
 
         return f1, f2, f3
 
@@ -151,6 +153,7 @@ class PANBlock(nn.Module):
 
     dtype: Any = jnp.float32
     width: float = 1.0
+    quant: bool = False
 
     @nn.compact
     def __call__(self, f1, f2, f3, train: bool = False):
@@ -158,15 +161,15 @@ class PANBlock(nn.Module):
         w = lambda ch: scale_channels(ch, self.width)
         p1 = f1
 
-        p2 = ConvBNAct(w(256), 3, 2, act="leaky_relu", dtype=d, name="conv1")(f1, train)
+        p2 = ConvBNAct(w(256), 3, 2, act="leaky_relu", dtype=d, quant=self.quant, name="conv1")(f1, train)
         p2 = jnp.concatenate([p2, f2], axis=-1)
         for i, (ch, k) in enumerate([(256, 1), (512, 3), (256, 1), (512, 3), (256, 1)]):
-            p2 = ConvBNAct(w(ch), k, 1, act="leaky_relu", dtype=d, name=f"module1_{i}")(p2, train)
+            p2 = ConvBNAct(w(ch), k, 1, act="leaky_relu", dtype=d, quant=self.quant, name=f"module1_{i}")(p2, train)
 
-        p3 = ConvBNAct(w(512), 3, 2, act="leaky_relu", dtype=d, name="conv7")(p2, train)
+        p3 = ConvBNAct(w(512), 3, 2, act="leaky_relu", dtype=d, quant=self.quant, name="conv7")(p2, train)
         p3 = jnp.concatenate([p3, f3], axis=-1)
         for i, (ch, k) in enumerate([(512, 1), (1024, 3), (512, 1), (1024, 3), (512, 1)]):
-            p3 = ConvBNAct(w(ch), k, 1, act="leaky_relu", dtype=d, name=f"module2_{i}")(p3, train)
+            p3 = ConvBNAct(w(ch), k, 1, act="leaky_relu", dtype=d, quant=self.quant, name=f"module2_{i}")(p3, train)
 
         return p1, p2, p3
 
@@ -177,12 +180,14 @@ class Neck(nn.Module):
     legacy_pools: bool = True
     dtype: Any = jnp.float32
     width: float = 1.0  # channel multiplier (1.0 = reference; see darknet.py)
+    quant: bool = False  # int8 serving convs (layers._quant_conv)
 
     @nn.compact
     def __call__(self, x3, x4, x5, train: bool = False):
         spp = SPPBlock(legacy_pools=self.legacy_pools, dtype=self.dtype,
-                       width=self.width, name="spp")(x5, train)
+                       width=self.width, quant=self.quant,
+                       name="spp")(x5, train)
         f1, f2, f3 = FPNBlock(dtype=self.dtype, width=self.width,
-                              name="fpn")(x3, x4, spp, train)
+                              quant=self.quant, name="fpn")(x3, x4, spp, train)
         return PANBlock(dtype=self.dtype, width=self.width,
-                        name="pan")(f1, f2, f3, train)
+                        quant=self.quant, name="pan")(f1, f2, f3, train)

@@ -48,6 +48,12 @@ class YOLOv4(nn.Module):
     # with no transpose copies (see models/head.py). False | True |
     # "auto" (on TPU only). Train path is unchanged either way.
     split_head: Any = False
+    # int8 serving quantization ("int8" | "none"): eval-time convs in
+    # backbone stages 3-5, neck, and head hidden layers run s8xs8->s32 on
+    # the MXU with BN folded and dynamic per-tensor activation scales
+    # (layers._quant_conv; measured 0.50-0.64x bf16 per conv on v5e).
+    # NOT reference-exact — opt-in serving mode; train path unchanged.
+    quant: str = "none"
     # width/depth multipliers (1.0 = the reference architecture exactly;
     # see darknet.scale_channels/scale_blocks). Smaller values build
     # topology-identical reduced variants, e.g. for smoke-scale sharding
@@ -65,20 +71,22 @@ class YOLOv4(nn.Module):
         decode=False returns the three raw NHWC head maps (for custom
         postprocessing or export)."""
         x = x.astype(self.dtype)
+        quant = self.quant == "int8"
         x3, x4, x5 = Backbone(return_pyramid=True, dtype=self.dtype,
                               s2d=self.s2d, pallas_csp=self.pallas_csp,
-                              wpack=self.wpack,
+                              wpack=self.wpack, quant=quant,
                               width=self.width, depth=self.depth,
                               name="backbone")(x, train,
                                                input_s2d=input_s2d)
         p1, p2, p3 = Neck(legacy_pools=self.legacy_spp_pools, dtype=self.dtype,
-                          width=self.width, name="neck")(x3, x4, x5, train)
+                          width=self.width, quant=quant,
+                          name="neck")(x3, x4, x5, train)
         split = self.split_head
         if split == "auto":
             split = jax.default_backend() == "tpu"
         raws = Head(n_classes=self.n_classes, dtype=self.dtype,
                     width=self.width, anchor_split=bool(split),
-                    name="head")(p1, p2, p3, train)
+                    quant=quant, name="head")(p1, p2, p3, train)
         if not decode:
             return raws
         return decode_all(list(raws), self.anchors, self.anchor_mask, training=train)
@@ -99,6 +107,7 @@ def build_model(cfg: Dict) -> YOLOv4:
         pallas_csp=model_cfg.get("PALLAS_CSP", False),
         wpack=model_cfg.get("WPACK", False),
         split_head=model_cfg.get("SPLIT_HEAD", False),
+        quant=model_cfg.get("QUANT", "none"),
         width=float(model_cfg.get("WIDTH", 1.0)),
         depth=float(model_cfg.get("DEPTH", 1.0)),
     )
