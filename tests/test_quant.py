@@ -110,6 +110,54 @@ def test_train_path_untouched():
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_static_scales_match_dynamic_on_calibration_batch():
+    """Scales recorded from batch X (mutable=['quant'] calibration) make
+    the int8_static layer reproduce the dynamic int8 layer bit-for-bit on
+    X — the static path's correctness reduces to the dynamic path's."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 32)), jnp.float32)
+    dyn = ConvBNAct(48, 3, 1, act="leaky_relu", quant="int8")
+    sta = ConvBNAct(48, 3, 1, act="leaky_relu", quant="int8_static")
+    v = _realistic_bn(_variables_for(dyn, x))
+
+    y_dyn = np.asarray(dyn.apply(v, x, train=False))
+    # calibration pass records the abs-max into the "quant" collection
+    _, upd = dyn.apply(v, x, train=False, mutable=["quant"])
+    amax = float(jax.tree.leaves(upd["quant"])[0])
+    assert amax == float(jnp.max(jnp.abs(x)))
+    y_sta = np.asarray(sta.apply({**v, **upd}, x, train=False))
+    assert np.array_equal(y_dyn, y_sta)
+
+
+def test_predictor_auto_calibration():
+    """int8_static Predictor calibrates on its first batch and serves;
+    detections match the dynamic-int8 Predictor on that batch exactly
+    (same scales by construction)."""
+    from yolov4_tpu.engine.predictor import Predictor
+
+    def make(quant):
+        cfg = load_config()
+        cfg["MODEL"].update(QUANT=quant, WIDTH=0.25, DEPTH=0.25)
+        cfg["TEST"].update(IMGSIZE=64, PRE_NMS_TOPK=64, MAX_DETS=10)
+        return cfg
+
+    rng = np.random.default_rng(0)
+    imgs = rng.random((2, 64, 64, 3)).astype(np.float32)
+
+    base = build_model(make("none"))
+    v = init_variables(base, jax.random.PRNGKey(0), 64)
+    v = _realistic_bn(v, seed=2)
+
+    pd = Predictor(make("int8"), variables=v, img_size=64, batch_size=2)
+    ps = Predictor(make("int8_static"), variables=v, img_size=64,
+                   batch_size=2)
+    det_d, val_d = pd(imgs)
+    det_s, val_s = ps(imgs)  # auto-calibrates on this batch
+    assert ps._quant_ready
+    assert np.array_equal(val_d, val_s)
+    assert np.allclose(det_d, det_s, atol=1e-5)
+
+
 def test_full_model_runs_finite():
     """Quantized eval forward runs end to end and stays finite (with
     conditioned BN stats; random-scale nets can legitimately overflow)."""

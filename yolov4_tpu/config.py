@@ -66,13 +66,14 @@ DEFAULTS: Dict[str, Dict[str, Any]] = {
         # only). Measured 0.958x full fwd+decode at 608/b16,
         # bit-identical outputs (tools/exp_split_head.py).
         "SPLIT_HEAD": "auto",
-        # int8 serving quantization: "none" (default) | "int8". Eval-time
-        # convs in backbone stages 3-5 + neck + head hidden layers run
-        # s8xs8->s32 on the MXU (BN folded, per-out-channel weight scales,
-        # dynamic per-tensor activation scales — layers._quant_conv).
-        # NOT reference-exact (quantization error); opt-in. Train path
-        # and checkpoints unchanged. Measured 0.50-0.64x bf16 per conv
-        # (tools/exp_int8.py).
+        # int8 serving quantization: "none" (default) | "int8" (dynamic
+        # per-tensor activation scales) | "int8_static" (calibrated scales
+        # — Predictor.calibrate() or automatic on the first batch).
+        # Eval-time convs in backbone stages 3-5 + neck + head hidden
+        # layers run s8xs8->s32 on the MXU (BN folded, per-out-channel
+        # weight scales — layers._quant_conv). NOT reference-exact
+        # (quantization error); opt-in. Train path and checkpoints
+        # unchanged. Measured 0.50-0.64x bf16 per conv (tools/exp_int8.py).
         "QUANT": "none",
     },
     "CRITERION": {
@@ -191,9 +192,9 @@ class Config(dict):
                 raise ValueError(f"{key}.IMGSIZE must be a multiple of 32: {size}")
         if self["TRAIN"]["ACCUMULATION_STEPS"] < 1:
             raise ValueError("TRAIN.ACCUMULATION_STEPS must be >= 1")
-        if model.get("QUANT", "none") not in ("none", "int8"):
-            raise ValueError(
-                f"MODEL.QUANT must be 'none' or 'int8': {model['QUANT']}")
+        if model.get("QUANT", "none") not in ("none", "int8", "int8_static"):
+            raise ValueError("MODEL.QUANT must be 'none', 'int8', or "
+                             f"'int8_static': {model['QUANT']}")
 
 
 def load_config(path: Optional[str] = None) -> Config:

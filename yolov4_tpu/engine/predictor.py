@@ -79,6 +79,15 @@ class Predictor:
         if variables is None:
             variables = init_variables(
                 self.model, jax.random.PRNGKey(0), self.img_size)
+        # int8_static: the model reads CALIBRATED activation scales from a
+        # "quant" variable collection (layers.ConvBNAct). calibrate()
+        # records them; the first dispatch() auto-calibrates on its own
+        # batch when nobody called it ("calibrate on first batch").
+        self._quant_static = (
+            cfg["MODEL"].get("QUANT", "none") == "int8_static")
+        self._quant_ready = not self._quant_static
+        if self._quant_static:
+            variables = {k: v for k, v in variables.items() if k != "quant"}
         self.variables = (jax.device_put(variables, self._replicated)
                           if self._replicated is not None
                           else jax.device_put(variables))
@@ -125,7 +134,54 @@ class Predictor:
 
         self._run = _run
 
+        @jax.jit
+        def _calib(variables, images):
+            _, updated = self.model.apply(
+                variables, images, train=False, mutable=["quant"])
+            return updated["quant"]
+
+        self._calib = _calib
+
+    def calibrate(self, images: np.ndarray, mark_ready: bool = True) -> None:
+        """Record int8_static activation scales (running per-layer abs-max)
+        from a representative batch. images: [B, S, S, 3] uint8 or float32
+        in [0, 1]. Callable repeatedly — scales only grow. Values beyond
+        the calibrated range clip to +-127 at serving time (the standard
+        post-training-quantization contract)."""
+        if not self._quant_static:
+            return
+        imgs = images.astype(np.float32)
+        if images.dtype == np.uint8:
+            imgs /= 255.0
+        if imgs.shape[0] < self.batch_size:
+            pad = np.zeros((self.batch_size - imgs.shape[0],
+                            *imgs.shape[1:]), np.float32)
+            imgs = np.concatenate([imgs, pad])
+        base = {k: v for k, v in self.variables.items() if k != "quant"}
+        feed = dict(base)
+        if "quant" in self.variables:
+            feed["quant"] = self.variables["quant"]
+        quant = jax.device_get(self._calib(feed, jnp.asarray(imgs)))
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            # every process must serve with identical scales: take the
+            # cross-process max leafwise (processes saw different shards)
+            quant = jax.tree.map(
+                lambda x: multihost_utils.process_allgather(x).max(axis=0),
+                quant)
+        put = (lambda t: jax.device_put(t, self._replicated)
+               if self._replicated is not None else jax.device_put(t))
+        self.variables = {**base, "quant": put(quant)}
+        if mark_ready:
+            self._quant_ready = True
+
     def warmup(self, dtype=np.float32) -> None:
+        if self._quant_static and "quant" not in self.variables:
+            # seed a zero-scale collection so the serving program can
+            # compile; real scales arrive with the first calibrate()
+            self.calibrate(np.zeros(
+                (1, self.img_size, self.img_size, 3), np.float32),
+                mark_ready=False)
         dummy = jnp.zeros((self.batch_size, self.img_size ** 2 * 3), dtype)
         jax.block_until_ready(
             self._run(self.variables, dummy, self.conf_thre, self.nms_thre))
@@ -136,6 +192,8 @@ class Predictor:
         when ``count_relevant`` (max_dets deeper than the scoring cap). Use
         for pipelined loops — fetch with np.asarray when needed. images:
         [B, S, S, 3] float32 in [0, 1] or uint8 (normalized on device)."""
+        if self._quant_static and not self._quant_ready:
+            self.calibrate(images)  # int8_static: calibrate on first batch
         n = images.shape[0]
         if n < self.batch_size:
             pad = np.zeros((self.batch_size - n, *images.shape[1:]), images.dtype)

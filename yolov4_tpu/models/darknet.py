@@ -76,10 +76,11 @@ class Backbone(nn.Module):
     #   span). Measured 0.478x the plain stage1 op mix at 608/b16
     #   (tools/exp_wpack.py).
     wpack: Any = False
-    # int8 serving quantization (MODEL.QUANT "int8"): stages 3-5 run
-    # eval-time convs s8xs8->s32 (layers._quant_conv). Stem/stage1/stage2
-    # keep the bf16 s2d/wpack path (VPU-Mish-bound + packed layouts).
-    quant: bool = False
+    # int8 serving quantization (MODEL.QUANT "int8" / "int8_static"):
+    # stages 3-5 run eval-time convs s8xs8->s32 (layers._quant_conv).
+    # Stem/stage1/stage2 keep the bf16 s2d/wpack path (VPU-Mish-bound +
+    # packed layouts).
+    quant: Any = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,

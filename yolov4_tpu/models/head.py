@@ -62,7 +62,7 @@ class Head(nn.Module):
     dtype: Any = jnp.float32
     width: float = 1.0  # scales hidden convs only; output convs stay 3*(5+C)
     anchor_split: bool = False  # per-anchor output maps (see module doc)
-    quant: bool = False  # int8 serving hidden convs (layers._quant_conv)
+    quant: Any = "none"  # int8 serving hidden convs (layers._quant_conv)
 
     @nn.compact
     def __call__(self, p1, p2, p3, train: bool = False):

@@ -294,10 +294,17 @@ class _TiledBN(nn.Module):
         return (x.astype(self.dtype) - mt) * st + bt
 
 
-def _quant_conv(x, kernel, bn_scale, bn_bias, stride, pad, out_dtype):
+def _quant_conv(x, kernel, bn_scale, bn_bias, stride, pad, out_dtype,
+                amax=None):
     """Eval-only int8 conv: BN folded into the kernel, weights quantized
-    per-output-channel, activations per-tensor (dynamic abs-max), the conv
-    run s8 x s8 -> s32 on the MXU, then dequantized + biased in f32.
+    per-output-channel, activations per-tensor, the conv run
+    s8 x s8 -> s32 on the MXU, then dequantized + biased in f32.
+
+    ``amax``: the activation scale source. None computes the abs-max of x
+    on the fly (dynamic — always safe, but the global reduction forces the
+    input to materialize and costs an extra pass); a scalar array uses
+    that CALIBRATED value instead (static — values beyond it clip to
+    +-127, the standard post-training-quantization contract).
 
     v5e int8 MACs run at 2x bf16; measured on chip (tools/exp_int8.py) the
     whole quantize->conv->dequantize chain is 0.50-0.64x the bf16 conv at
@@ -308,7 +315,9 @@ def _quant_conv(x, kernel, bn_scale, bn_bias, stride, pad, out_dtype):
     sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2)), 1e-12) / 127.0
     wq = jnp.round(wf / sw).astype(jnp.int8)
     xf = x.astype(jnp.float32)
-    sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+    if amax is None:
+        amax = jnp.max(jnp.abs(xf))
+    sx = jnp.maximum(amax, 1e-12) / 127.0
     xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
     y = jax.lax.conv_general_dilated(
         xq, wq, (stride, stride), [(pad, pad), (pad, pad)],
@@ -356,10 +365,13 @@ class ConvBNAct(nn.Module):
     # reference's YOLO trainer behavior; its darknet pretrainer applies
     # apex SyncBN, darknet/main_amp.py:147-150)
     bn_axis: Any = None
-    # int8 serving quantization (MODEL.QUANT "int8", eval only): see
+    # int8 serving quantization (MODEL.QUANT, eval only): "none" | "int8"
+    # (dynamic per-tensor activation scales) | "int8_static" (calibrated
+    # scales from the "quant" variable collection — record them by
+    # applying with mutable=["quant"] on representative data). See
     # _quant_conv. Applies to plain bias-free conv+BN layers; train mode,
     # s2d/wpack-lowered convs, and the biased output convs keep bf16.
-    quant: bool = False
+    quant: Any = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -373,13 +385,31 @@ class ConvBNAct(nn.Module):
         assert not input_s2d or self.s2d == "stride1_keep", \
             "input_s2d requires the stride1_keep stem"
         pad = (self.kernel_size - 1) // 2
-        if (self.quant and not train and self.s2d == "none" and self.bn
-                and not self.bias):
+        qmode = {False: "none", True: "int8"}.get(self.quant, self.quant)
+        if (qmode != "none" and not train and self.s2d == "none"
+                and self.bn and not self.bias):
             kernel = _ConvKernel(
                 (self.kernel_size, self.kernel_size, x.shape[-1],
                  self.out_ch), name="conv")()
             s, b = _BNFold(self.out_ch, name="norm")()
-            x = _quant_conv(x, kernel, s, b, self.stride, pad, self.dtype)
+            # calibrated activation scale: recorded into the "quant"
+            # collection when it is mutable (a calibration pass); consumed
+            # instead of the dynamic abs-max in "int8_static" mode. The
+            # variable only exists for static mode / calibration, so plain
+            # "int8" checkpoints/variables carry no extra collection.
+            recording = (self.is_mutable_collection("quant")
+                         and not self.is_initializing())
+            amax = None
+            if qmode == "int8_static" or recording:
+                var = self.variable("quant", "amax",
+                                    lambda: jnp.zeros((), jnp.float32))
+                if recording:
+                    var.value = jnp.maximum(
+                        var.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+                if qmode == "int8_static":
+                    amax = var.value
+            x = _quant_conv(x, kernel, s, b, self.stride, pad, self.dtype,
+                            amax=amax)
             return ACTIVATIONS[self.act](x)
         if self.s2d == "none":
             x = nn.Conv(
@@ -604,7 +634,7 @@ class ResBlock(nn.Module):
     act: str = "mish"
     dtype: Any = jnp.float32
     bn_axis: Any = None
-    quant: bool = False
+    quant: Any = "none"  # "none" | "int8" | "int8_static" (see ConvBNAct)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -715,8 +745,9 @@ class CSPDownSample(nn.Module):
     # the next stage's "stride2_from_wpack" (or another packed stage).
     wpack: bool = False
     # int8 serving quantization of the stage's plain convs (eval only;
-    # see layers._quant_conv). Takes precedence over `fused`.
-    quant: bool = False
+    # "none" | "int8" | "int8_static", see ConvBNAct). Takes precedence
+    # over `fused`.
+    quant: Any = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -745,8 +776,10 @@ class CSPDownSample(nn.Module):
 
         from yolov4_tpu.ops.csp_pallas import (fused_csp_stage,
                                                fused_csp_supported)
+        quant_on = {False: "none", True: "int8"}.get(self.quant,
+                                                     self.quant) != "none"
         if (self.fused and not train and self.act == "mish"
-                and self.shortcut and not self.quant
+                and self.shortcut and not quant_on
                 and fused_csp_supported(x.shape, self.num_blocks,
                                         dtype=x.dtype)):
             c2 = c // 2

@@ -98,7 +98,7 @@ class SPPBlock(nn.Module):
     legacy_pools: bool = True
     dtype: Any = jnp.float32
     width: float = 1.0
-    quant: bool = False  # int8 serving convs (layers._quant_conv)
+    quant: Any = "none"  # int8 serving convs (layers._quant_conv)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -122,7 +122,7 @@ class FPNBlock(nn.Module):
 
     dtype: Any = jnp.float32
     width: float = 1.0
-    quant: bool = False
+    quant: Any = "none"
 
     @nn.compact
     def __call__(self, x3, x4, x5, train: bool = False):
@@ -153,7 +153,7 @@ class PANBlock(nn.Module):
 
     dtype: Any = jnp.float32
     width: float = 1.0
-    quant: bool = False
+    quant: Any = "none"
 
     @nn.compact
     def __call__(self, f1, f2, f3, train: bool = False):
@@ -180,7 +180,7 @@ class Neck(nn.Module):
     legacy_pools: bool = True
     dtype: Any = jnp.float32
     width: float = 1.0  # channel multiplier (1.0 = reference; see darknet.py)
-    quant: bool = False  # int8 serving convs (layers._quant_conv)
+    quant: Any = "none"  # int8 serving convs (layers._quant_conv)
 
     @nn.compact
     def __call__(self, x3, x4, x5, train: bool = False):

@@ -48,7 +48,8 @@ class YOLOv4(nn.Module):
     # with no transpose copies (see models/head.py). False | True |
     # "auto" (on TPU only). Train path is unchanged either way.
     split_head: Any = False
-    # int8 serving quantization ("int8" | "none"): eval-time convs in
+    # int8 serving quantization ("none" | "int8" | "int8_static"):
+    # eval-time convs in
     # backbone stages 3-5, neck, and head hidden layers run s8xs8->s32 on
     # the MXU with BN folded and dynamic per-tensor activation scales
     # (layers._quant_conv; measured 0.50-0.64x bf16 per conv on v5e).
@@ -71,7 +72,7 @@ class YOLOv4(nn.Module):
         decode=False returns the three raw NHWC head maps (for custom
         postprocessing or export)."""
         x = x.astype(self.dtype)
-        quant = self.quant == "int8"
+        quant = {False: "none", True: "int8"}.get(self.quant, self.quant)
         x3, x4, x5 = Backbone(return_pyramid=True, dtype=self.dtype,
                               s2d=self.s2d, pallas_csp=self.pallas_csp,
                               wpack=self.wpack, quant=quant,
