@@ -39,13 +39,13 @@ def window(fn, args_, fetch, iters=20):
     return (time.time() - t0) / iters * 1000.0
 
 
-def paired(name, fa, fb, args_, fetch, windows=6, iters=20):
-    window(fa, args_, fetch, 3)
-    window(fb, args_, fetch, 3)
+def paired(name, fa, aa, fb, ab, fetch, windows=6, iters=20):
+    window(fa, aa, fetch, 3)
+    window(fb, ab, fetch, 3)
     ta, tb = [], []
     for _ in range(windows):
-        ta.append(window(fa, args_, fetch, iters))
-        tb.append(window(fb, args_, fetch, iters))
+        ta.append(window(fa, aa, fetch, iters))
+        tb.append(window(fb, ab, fetch, iters))
     ratios = [b / a for a, b in zip(ta, tb)]
     print(f"{name}: bf16 {[round(v, 2) for v in ta]}")
     print(f"{name}: int8 {[round(v, 2) for v in tb]}")
@@ -58,17 +58,29 @@ def main():
     p.add_argument("--size", type=int, default=608)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--skip-nms", action="store_true")
+    p.add_argument("--static", action="store_true",
+                   help="compare int8_static (calibrated scales) instead "
+                   "of dynamic int8 against bf16")
     args = p.parse_args()
     size, batch = args.size, args.batch
     rng = np.random.default_rng(0)
 
     mp = build_model(load_config())
     cfgq = load_config()
-    cfgq["MODEL"]["QUANT"] = "int8"
+    cfgq["MODEL"]["QUANT"] = "int8_static" if args.static else "int8"
     mq = build_model(cfgq)
 
     variables = jax.device_put(init_variables(mp, jax.random.PRNGKey(0), size))
     imgs = jnp.asarray(rng.random((batch, size, size, 3)), jnp.float32)
+
+    if args.static:
+        # record calibration scales once (dynamic abs-max pass), then time
+        # the static program with them
+        _, upd = jax.jit(lambda v, x: mq.apply(
+            v, x, train=False, mutable=["quant"]))(variables, imgs)
+        qvariables = jax.device_put({**variables, **upd})
+    else:
+        qvariables = variables
 
     fp = jax.jit(lambda v, x: mp.apply(v, x, train=False))
     fq = jax.jit(lambda v, x: mq.apply(v, x, train=False))
@@ -76,7 +88,8 @@ def main():
     def fetch(o):
         np.asarray(o[0, 0, 0])
 
-    paired(f"fwd+decode {size}/b{batch}", fp, fq, (variables, imgs), fetch)
+    paired(f"fwd+decode {size}/b{batch}", fp, (variables, imgs),
+           fq, (qvariables, imgs), fetch)
 
     if args.skip_nms:
         return
@@ -93,7 +106,8 @@ def main():
     def fetch_nms(o):
         np.asarray(o[0][0, 0, 0])
 
-    paired(f"fwd+NMS {size}/b{batch}", gp, gq, (variables, imgs), fetch_nms)
+    paired(f"fwd+NMS {size}/b{batch}", gp, (variables, imgs),
+           gq, (qvariables, imgs), fetch_nms)
 
 
 if __name__ == "__main__":

@@ -135,12 +135,51 @@ class Predictor:
         self._run = _run
 
         @jax.jit
-        def _calib(variables, images):
-            _, updated = self.model.apply(
-                variables, images, train=False, mutable=["quant"])
+        def _calib(variables, flat_images):
+            # EXACTLY the serving program's input path (wire layout,
+            # normalization): the recorded scales must describe the
+            # activations the serving program will actually see — a
+            # different input lowering produces ulp-different activations
+            # whose shifted quantization grids compound across ~60
+            # quantized layers.
+            if s2d_wire:
+                images = flat_images.reshape(-1, size // 2, size // 2, 12)
+                if images.dtype == jnp.uint8:
+                    images = images.astype(jnp.float32) / 255.0
+                _, updated = self.model.apply(
+                    variables, images, train=False, input_s2d=True,
+                    mutable=["quant"])
+            else:
+                images = flat_images.reshape(-1, 3, size, size)
+                images = jnp.transpose(images, (0, 2, 3, 1))
+                if images.dtype == jnp.uint8:
+                    images = images.astype(jnp.float32) / 255.0
+                _, updated = self.model.apply(
+                    variables, images, train=False, mutable=["quant"])
             return updated["quant"]
 
         self._calib = _calib
+
+    def _pack_flat(self, images: np.ndarray) -> np.ndarray:
+        """Host wire packing shared by dispatch() and calibrate():
+        pad to batch_size, pack (s2d / planar), flatten."""
+        n = images.shape[0]
+        if n < self.batch_size:
+            pad = np.zeros((self.batch_size - n, *images.shape[1:]),
+                           images.dtype)
+            images = np.concatenate([images, pad])
+        elif n > self.batch_size:
+            raise ValueError(
+                f"batch {n} exceeds compiled size {self.batch_size}")
+        from yolov4_tpu import native
+        if self._s2d_wire:
+            packed = (native.pack_s2d_u8(images) if images.dtype == np.uint8
+                      else native.pack_s2d_f32(images))
+        elif images.dtype == np.uint8:
+            packed = native.pack_planar_u8(images)  # C/OpenMP de-interleave
+        else:
+            packed = np.ascontiguousarray(images.transpose(0, 3, 1, 2))
+        return packed.reshape(self.batch_size, -1)
 
     def calibrate(self, images: np.ndarray, mark_ready: bool = True) -> None:
         """Record int8_static activation scales (running per-layer abs-max)
@@ -150,18 +189,12 @@ class Predictor:
         post-training-quantization contract)."""
         if not self._quant_static:
             return
-        imgs = images.astype(np.float32)
-        if images.dtype == np.uint8:
-            imgs /= 255.0
-        if imgs.shape[0] < self.batch_size:
-            pad = np.zeros((self.batch_size - imgs.shape[0],
-                            *imgs.shape[1:]), np.float32)
-            imgs = np.concatenate([imgs, pad])
+        flat = self._pack_flat(images)
         base = {k: v for k, v in self.variables.items() if k != "quant"}
         feed = dict(base)
         if "quant" in self.variables:
             feed["quant"] = self.variables["quant"]
-        quant = jax.device_get(self._calib(feed, jnp.asarray(imgs)))
+        quant = jax.device_get(self._calib(feed, jnp.asarray(flat)))
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
             # every process must serve with identical scales: take the
@@ -194,21 +227,7 @@ class Predictor:
         [B, S, S, 3] float32 in [0, 1] or uint8 (normalized on device)."""
         if self._quant_static and not self._quant_ready:
             self.calibrate(images)  # int8_static: calibrate on first batch
-        n = images.shape[0]
-        if n < self.batch_size:
-            pad = np.zeros((self.batch_size - n, *images.shape[1:]), images.dtype)
-            images = np.concatenate([images, pad])
-        elif n > self.batch_size:
-            raise ValueError(f"batch {n} exceeds compiled size {self.batch_size}")
-        from yolov4_tpu import native
-        if self._s2d_wire:
-            packed = (native.pack_s2d_u8(images) if images.dtype == np.uint8
-                      else native.pack_s2d_f32(images))
-        elif images.dtype == np.uint8:
-            packed = native.pack_planar_u8(images)  # C/OpenMP de-interleave
-        else:
-            packed = np.ascontiguousarray(images.transpose(0, 3, 1, 2))
-        flat = packed.reshape(self.batch_size, -1)
+        flat = self._pack_flat(images)
         if self._in_sharding is not None:
             arr = jax.make_array_from_process_local_data(
                 self._in_sharding, flat)

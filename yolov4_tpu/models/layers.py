@@ -294,10 +294,17 @@ class _TiledBN(nn.Module):
         return (x.astype(self.dtype) - mt) * st + bt
 
 
-def _quant_conv(x, kernel, bn_scale, bn_bias, stride, pad, out_dtype,
-                amax=None):
-    """Eval-only int8 conv: BN folded into the kernel, weights quantized
-    per-output-channel, activations per-tensor, the conv run
+def _quant_weights(kernel, bn_scale):
+    """BN-folded per-output-channel int8 weight quantization:
+    (wq int8 [k,k,ci,co], sw f32 [co])."""
+    wf = kernel * bn_scale  # [k,k,ci,co] f32, BN folded
+    sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2)), 1e-12) / 127.0
+    return jnp.round(wf / sw).astype(jnp.int8), sw
+
+
+def _quant_conv(x, wq, sw, bn_bias, stride, pad, out_dtype, amax=None):
+    """Eval-only int8 conv: BN folded into the pre-quantized kernel
+    (``_quant_weights``), activations per-tensor, the conv run
     s8 x s8 -> s32 on the MXU, then dequantized + biased in f32.
 
     ``amax``: the activation scale source. None computes the abs-max of x
@@ -311,9 +318,6 @@ def _quant_conv(x, kernel, bn_scale, bn_bias, stride, pad, out_dtype,
     every MXU-bound shape in this model. Accumulator safety: |sum| <=
     9*2048*127^2 ~ 3e8 < 2^31 for every conv here.
     """
-    wf = kernel * bn_scale  # [k,k,ci,co] f32, BN folded
-    sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2)), 1e-12) / 127.0
-    wq = jnp.round(wf / sw).astype(jnp.int8)
     xf = x.astype(jnp.float32)
     if amax is None:
         amax = jnp.max(jnp.abs(xf))
@@ -388,27 +392,40 @@ class ConvBNAct(nn.Module):
         qmode = {False: "none", True: "int8"}.get(self.quant, self.quant)
         if (qmode != "none" and not train and self.s2d == "none"
                 and self.bn and not self.bias):
-            kernel = _ConvKernel(
-                (self.kernel_size, self.kernel_size, x.shape[-1],
-                 self.out_ch), name="conv")()
+            kshape = (self.kernel_size, self.kernel_size, x.shape[-1],
+                      self.out_ch)
+            kernel = _ConvKernel(kshape, name="conv")()
             s, b = _BNFold(self.out_ch, name="norm")()
-            # calibrated activation scale: recorded into the "quant"
-            # collection when it is mutable (a calibration pass); consumed
-            # instead of the dynamic abs-max in "int8_static" mode. The
-            # variable only exists for static mode / calibration, so plain
-            # "int8" checkpoints/variables carry no extra collection.
+            # calibration/static state in the "quant" collection: the
+            # activation scale (running abs-max) and the PRE-QUANTIZED
+            # weights. Recorded when the collection is mutable (a
+            # calibration pass); consumed instead of the dynamic abs-max /
+            # per-call weight requantization in "int8_static" mode — the
+            # serving program then never touches the f32 kernels (~256 MB
+            # of reads + fold/round work per forward across the model).
+            # The variables only exist for static mode / calibration, so
+            # plain "int8" variables carry no extra collection.
             recording = (self.is_mutable_collection("quant")
                          and not self.is_initializing())
             amax = None
             if qmode == "int8_static" or recording:
                 var = self.variable("quant", "amax",
                                     lambda: jnp.zeros((), jnp.float32))
+                vwq = self.variable("quant", "wq",
+                                    lambda: jnp.zeros(kshape, jnp.int8))
+                vsw = self.variable("quant", "sw",
+                                    lambda: jnp.ones((self.out_ch,),
+                                                     jnp.float32))
                 if recording:
                     var.value = jnp.maximum(
                         var.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
-                if qmode == "int8_static":
+                    vwq.value, vsw.value = _quant_weights(kernel, s)
+                elif qmode == "int8_static":
                     amax = var.value
-            x = _quant_conv(x, kernel, s, b, self.stride, pad, self.dtype,
+                wq, sw = vwq.value, vsw.value
+            else:
+                wq, sw = _quant_weights(kernel, s)
+            x = _quant_conv(x, wq, sw, b, self.stride, pad, self.dtype,
                             amax=amax)
             return ACTIVATIONS[self.act](x)
         if self.s2d == "none":
