@@ -47,6 +47,11 @@ def parse_args():
     parser.add_argument("--conf-thre", type=float, default=-0.1)
     parser.add_argument("--nms-thre", type=float, default=-0.1)
     parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--quant", choices=("none", "int8", "int8_static"),
+                        default=None,
+                        help="serving quantization mode (default cfg "
+                             "MODEL.QUANT; int8* are faster but not "
+                             "reference-exact)")
     return parser.parse_args()
 
 
@@ -77,6 +82,8 @@ def main():
     setup_logging(0)
     logger = get_logger(__name__)
     cfg = load_config(args.cfg)
+    if args.quant is not None:
+        cfg["MODEL"]["QUANT"] = args.quant
     conf_thre = cfg["TEST"]["CONFTHRE"] if args.conf_thre < 0 else args.conf_thre
     nms_thre = cfg["TEST"]["NMSTHRE"] if args.nms_thre < 0 else args.nms_thre
     img_size = cfg["TEST"]["IMGSIZE"]

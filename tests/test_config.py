@@ -38,3 +38,12 @@ def test_validation_rejects_bad_anchor_mask():
 def test_validation_rejects_bad_imgsize():
     with pytest.raises(ValueError):
         Config.from_dict({"TRAIN": {"IMGSIZE": 600}})
+
+
+def test_quant_mode_validation():
+    # the contract the detect.py/val.py --quant flags rely on
+    for mode in ("none", "int8", "int8_static"):
+        cfg = Config.from_dict({"MODEL": {"QUANT": mode}})
+        assert cfg["MODEL"]["QUANT"] == mode
+    with pytest.raises(ValueError):
+        Config.from_dict({"MODEL": {"QUANT": "int4"}})

@@ -55,6 +55,11 @@ def parse_args():
                         help="approx_max_k candidate selection (recall "
                              "~0.95): faster postprocess tail, not "
                              "reference-exact")
+    parser.add_argument("--quant", choices=("none", "int8", "int8_static"),
+                        default=None,
+                        help="serving quantization mode (default cfg "
+                             "MODEL.QUANT; int8* are faster but not "
+                             "reference-exact)")
     return parser.parse_args()
 
 
@@ -73,6 +78,8 @@ def main():
         cfg["TEST"]["CAT_CAP"] = args.cat_cap
     if args.approx_topk:
         cfg["TEST"]["APPROX_TOPK"] = True
+    if args.quant is not None:
+        cfg["MODEL"]["QUANT"] = args.quant
     batch_size = cfg["TEST"].get("BATCH_SIZE", 8) if args.batch_size < 0 else args.batch_size
     workers = cfg["DATA"]["WORKERS"] if args.workers < 0 else args.workers
 
