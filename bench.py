@@ -53,15 +53,15 @@ def make_sources(n: int, seed: int = 0):
     return out
 
 
-def ensure_backend():
+def ensure_backend() -> bool:
     """Bounded grace window for `axon` tunnel outages (observed: hours-long).
 
     A dead tunnel doesn't error fast — backend init can HANG >10 min, and
     jax caches a failed init for the life of the process. So the FIRST
     device contact happens in a timeout-bounded SUBPROCESS probe; only
-    after one succeeds does this process touch the backend. If no probe
-    succeeds before the deadline (YOLOV4_BENCH_WAIT_S, default 600 s),
-    proceed anyway and fail honestly.
+    after one succeeds does this process touch the backend. Returns False
+    if no probe succeeds before the deadline (YOLOV4_BENCH_WAIT_S,
+    default 600 s).
     """
     import os
     import subprocess
@@ -75,15 +75,42 @@ def ensure_backend():
         try:
             subprocess.run([sys.executable, "-c", code], check=True,
                            timeout=240, capture_output=True)
-            return
+            return True
         except Exception:
             if time.time() >= deadline:
-                print("backend probe still failing; proceeding to fail "
-                      "honestly", file=sys.stderr)
-                return
+                return False
             print(f"backend probe {attempt} failed; retrying in 30s "
                   f"({int(deadline - time.time())}s left)", file=sys.stderr)
             time.sleep(30)
+
+
+LAST_RESULT_PATH = "bench_last.json"
+
+
+def emit_backend_down(img_size: int):
+    """Tunnel still dead after the grace window: emit ONE honest JSON line.
+
+    value=0 states the literal truth (a dead backend serves 0 img/s);
+    backend_unavailable distinguishes it from a measured regression, and
+    last_recorded carries the most recent SUCCESSFUL run's full result
+    (stamped with its own time/source) so the scoreboard keeps the
+    hardware-meaningful rates.
+    """
+    result = {
+        "metric": f"coco_e2e_images_per_sec_per_chip_{img_size}",
+        "value": 0.0,
+        "unit": "images/sec",
+        "vs_baseline": None,
+        "backend_unavailable": True,
+        "note": "axon tunnel down for the whole grace window; "
+                "see docs/PERF.md for measured device-resident rates",
+    }
+    try:
+        with open(LAST_RESULT_PATH) as f:
+            result["last_recorded"] = json.load(f)
+    except Exception:
+        pass
+    print(json.dumps(result))
 
 
 def main():
@@ -159,6 +186,14 @@ def main():
     # the primary metric stays the honest end-to-end number.
     result.update(device_rates(predictor, preprocess_batch, batch, size))
     print(json.dumps(result))
+    try:
+        with open(LAST_RESULT_PATH, "w") as f:
+            json.dump({"recorded_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                                    time.gmtime()),
+                       "source": "bench.py successful run",
+                       "result": result}, f, indent=1)
+    except Exception as e:  # noqa: BLE001
+        print(f"could not persist last result: {e!r}", file=sys.stderr)
     return result
 
 
@@ -259,5 +294,11 @@ def device_rates(predictor, preprocess_batch, batch, size):
 
 
 if __name__ == "__main__":
-    ensure_backend()
-    main()
+    if ensure_backend():
+        main()
+    else:
+        # parse --img-size only; argparse runs fully inside main() otherwise
+        _size = 608
+        if "--img-size" in sys.argv:
+            _size = int(sys.argv[sys.argv.index("--img-size") + 1])
+        emit_backend_down(_size)
