@@ -94,6 +94,12 @@ def main():
                              "semantics: plain per-image caps measured "
                              "-0.106/-0.048 AP at 100/300 on a weak-TP "
                              "distribution; cat-aware 1024 delta is 0)")
+    parser.add_argument("--quant", choices=("none", "int8", "int8_static"),
+                        default=None,
+                        help="also usable to measure the int8 serving AP "
+                             "delta against the bf16 gate run (int8 is NOT "
+                             "reference-exact; the gate target applies to "
+                             "the default bf16 path)")
     args = parser.parse_args()
 
     data = find_data(args.data)
@@ -120,6 +126,8 @@ def main():
         "--pre-nms-topk", str(args.pre_nms_topk),
         "--max-dets", str(args.max_dets),
     ]
+    if args.quant is not None:
+        sys.argv += ["--quant", args.quant]
     import val
     ap, ap50 = val.main()
     print(f"\nGATE: AP {ap:.5f} (published {PUBLISHED_AP}) "
