@@ -21,6 +21,29 @@ from yolov4_tpu.models.yolov4 import init_variables
 from yolov4_tpu.ops.postprocess import postprocess
 
 
+def pack_wire(images: np.ndarray, batch_size: int,
+              s2d_wire: bool) -> np.ndarray:
+    """Pack an NHWC host batch into the flat device wire format: pad to
+    ``batch_size``, reorder (s2d stem layout / planar NCHW), flatten to
+    [batch_size, 3*S*S]. Shared by Predictor and exported serving
+    artifacts (utils/export.py) so both feed bit-identical bytes."""
+    n = images.shape[0]
+    if n < batch_size:
+        pad = np.zeros((batch_size - n, *images.shape[1:]), images.dtype)
+        images = np.concatenate([images, pad])
+    elif n > batch_size:
+        raise ValueError(f"batch {n} exceeds compiled size {batch_size}")
+    from yolov4_tpu import native
+    if s2d_wire:
+        packed = (native.pack_s2d_u8(images) if images.dtype == np.uint8
+                  else native.pack_s2d_f32(images))
+    elif images.dtype == np.uint8:
+        packed = native.pack_planar_u8(images)  # C/OpenMP de-interleave
+    else:
+        packed = np.ascontiguousarray(images.transpose(0, 3, 1, 2))
+    return packed.reshape(batch_size, -1)
+
+
 class Predictor:
     """Compile-once batched detector.
 
@@ -163,23 +186,7 @@ class Predictor:
     def _pack_flat(self, images: np.ndarray) -> np.ndarray:
         """Host wire packing shared by dispatch() and calibrate():
         pad to batch_size, pack (s2d / planar), flatten."""
-        n = images.shape[0]
-        if n < self.batch_size:
-            pad = np.zeros((self.batch_size - n, *images.shape[1:]),
-                           images.dtype)
-            images = np.concatenate([images, pad])
-        elif n > self.batch_size:
-            raise ValueError(
-                f"batch {n} exceeds compiled size {self.batch_size}")
-        from yolov4_tpu import native
-        if self._s2d_wire:
-            packed = (native.pack_s2d_u8(images) if images.dtype == np.uint8
-                      else native.pack_s2d_f32(images))
-        elif images.dtype == np.uint8:
-            packed = native.pack_planar_u8(images)  # C/OpenMP de-interleave
-        else:
-            packed = np.ascontiguousarray(images.transpose(0, 3, 1, 2))
-        return packed.reshape(self.batch_size, -1)
+        return pack_wire(images, self.batch_size, self._s2d_wire)
 
     def calibrate(self, images: np.ndarray, mark_ready: bool = True) -> None:
         """Record int8_static activation scales (running per-layer abs-max)

@@ -1,0 +1,145 @@
+"""Single-file serving export: the whole compiled detection program —
+uint8 wire bytes -> normalized input -> forward -> anchor decode ->
+class-wise NMS -> fixed-shape detections — serialized as a portable
+StableHLO artifact (`jax.export`) with the weights embedded as program
+constants.
+
+The reference framework has no deployment story beyond pickled torch
+checkpoints (reference detect.py reloads model code + .pth.tar every
+time); an exported artifact here is self-contained: serving needs no
+model code, no config, no checkpoint — just JAX on the target backend
+and this file. The host-side wire packing contract (flat [B, 3*S*S],
+s2d-stem or planar order — see engine/predictor.pack_wire) is recorded
+in the header and replayed by :class:`ServingArtifact`.
+
+File format (version 1)::
+
+    8 bytes  magic  b"Y4TPUEXP"
+    1 byte   version (1)
+    4 bytes  little-endian header length H
+    H bytes  JSON header (shapes, wire layout, thresholds, platforms)
+    rest     jax.export serialized module
+
+Platform notes: the artifact runs on the platform(s) it was lowered for
+(header ``platforms``). The NMS engine is chosen at trace time —
+exporting on a TPU host embeds the Pallas kernel, exporting on CPU the
+XLA fallback; the two are bit-identical (tests/test_nms_pallas.py), so
+cross-host exports stay correct.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAGIC = b"Y4TPUEXP"
+VERSION = 1
+
+
+def export_serving(predictor, path: str, wire_dtype=np.uint8) -> Dict:
+    """Export ``predictor``'s compiled serving program to ``path``.
+
+    The predictor's variables (and, for int8_static, its calibrated
+    activation scales) are baked into the program as constants; conf/NMS
+    thresholds are frozen at their current values. Returns the header
+    dict. ``wire_dtype``: np.uint8 (standard wire) or np.float32.
+    """
+    from jax import export as jax_export
+
+    if getattr(predictor, "_quant_static", False):
+        if not predictor._quant_ready:
+            raise ValueError(
+                "int8_static predictor exported before calibration: call "
+                "predictor.calibrate(representative_batch) first so the "
+                "baked scales describe real activations")
+    variables = predictor.variables
+    conf, nms = predictor.conf_thre, predictor.nms_thre
+    run = predictor._run
+
+    @jax.jit
+    def serve(flat_images):
+        return run(variables, flat_images, conf, nms)
+
+    b = predictor.batch_size
+    flat_len = 3 * predictor.img_size * predictor.img_size
+    arg = jax.ShapeDtypeStruct((b, flat_len), jnp.dtype(wire_dtype))
+    exported = jax_export.export(serve)(arg)
+    blob = exported.serialize()
+
+    header = {
+        "img_size": int(predictor.img_size),
+        "batch_size": int(b),
+        "s2d_wire": bool(predictor._s2d_wire),
+        "wire_dtype": np.dtype(wire_dtype).name,
+        "num_classes": int(predictor.num_classes),
+        "max_dets": int(predictor.max_dets),
+        "conf_thre": float(conf),
+        "nms_thre": float(nms),
+        "outputs": (["detections", "valid", "relevant_count"]
+                    if predictor.count_relevant else ["detections", "valid"]),
+        "quant": str(predictor.cfg["MODEL"].get("QUANT", "none")),
+        "platforms": list(exported.platforms),
+        "jax_version": jax.__version__,
+    }
+    hdr = json.dumps(header).encode()
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<B", VERSION))
+        f.write(struct.pack("<I", len(hdr)))
+        f.write(hdr)
+        f.write(blob)
+    return header
+
+
+class ServingArtifact:
+    """A loaded export: ``meta`` (the header) + callable inference.
+
+    ``call(flat)`` runs the raw program on pre-packed wire bytes;
+    ``predict(images)`` packs an NHWC host batch ([n, S, S, 3], n <=
+    batch_size) exactly like the live Predictor and unpads the result.
+    """
+
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            data = f.read()
+        if data[:8] != MAGIC:
+            raise ValueError(f"{path}: not a yolov4_tpu serving export")
+        version = data[8]
+        if version != VERSION:
+            raise ValueError(f"{path}: unsupported export version {version}")
+        (hlen,) = struct.unpack("<I", data[9:13])
+        self.meta = json.loads(data[13:13 + hlen].decode())
+        from jax import export as jax_export
+        self._exported = jax_export.deserialize(data[13 + hlen:])
+        self._wire_dtype = np.dtype(self.meta["wire_dtype"])
+
+    def call(self, flat_images):
+        """Raw program call on packed wire bytes
+        [batch_size, 3*S*S] (meta['wire_dtype'])."""
+        return self._exported.call(jnp.asarray(flat_images))
+
+    def predict(self, images: np.ndarray) -> Tuple[np.ndarray, ...]:
+        """NHWC batch in, per-image detections out (numpy, unpadded).
+
+        images: [n, S, S, 3] matching meta['wire_dtype'] (uint8, or
+        float32 in [0, 1]); n <= meta['batch_size'].
+        """
+        from yolov4_tpu.engine.predictor import pack_wire
+        if images.dtype != self._wire_dtype:
+            raise ValueError(
+                f"expected {self._wire_dtype} images (exported wire dtype), "
+                f"got {images.dtype}")
+        n = images.shape[0]
+        flat = pack_wire(images, self.meta["batch_size"],
+                         self.meta["s2d_wire"])
+        out = self.call(flat)
+        return tuple(np.asarray(o)[:n] for o in out)
+
+
+def load_serving(path: str) -> ServingArtifact:
+    return ServingArtifact(path)
