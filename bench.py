@@ -62,6 +62,12 @@ def ensure_backend() -> bool:
     after one succeeds does this process touch the backend. Returns False
     if no probe succeeds before the deadline (YOLOV4_BENCH_WAIT_S,
     default 600 s).
+
+    The per-probe timeout (YOLOV4_BENCH_PROBE_S, default 540 s) must
+    cover a COLD compile of the probe matmul through the remote-compile
+    service (5-10 min for model programs, less for a 2x2 matmul, but a
+    short timeout would kill a healthy-but-cold backend mid-compile
+    forever — the cache entry is only written when the compile finishes).
     """
     import os
     import subprocess
@@ -69,12 +75,13 @@ def ensure_backend() -> bool:
             "import jax, jax.numpy as jnp, numpy as np;"
             "np.asarray(jnp.ones((2,2)) @ jnp.ones((2,2)))")
     deadline = time.time() + float(os.environ.get("YOLOV4_BENCH_WAIT_S", "600"))
+    probe_s = float(os.environ.get("YOLOV4_BENCH_PROBE_S", "540"))
     attempt = 0
     while True:
         attempt += 1
         try:
             subprocess.run([sys.executable, "-c", code], check=True,
-                           timeout=240, capture_output=True)
+                           timeout=probe_s, capture_output=True)
             return True
         except Exception:
             if time.time() >= deadline:
@@ -84,7 +91,12 @@ def ensure_backend() -> bool:
             time.sleep(30)
 
 
-LAST_RESULT_PATH = "bench_last.json"
+# repo-root-anchored: the driver may invoke bench.py from any cwd, and the
+# committed seed (+ updates from successful runs) must stay findable
+import os as _os
+
+LAST_RESULT_PATH = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), "bench_last.json")
 
 
 def emit_backend_down(img_size: int):
@@ -113,7 +125,7 @@ def emit_backend_down(img_size: int):
     print(json.dumps(result))
 
 
-def main():
+def parse_args():
     parser = argparse.ArgumentParser()
     parser.add_argument("--img-size", type=int, default=608)
     parser.add_argument("--batch-size", type=int, default=16)
@@ -126,7 +138,11 @@ def main():
     parser.add_argument("--conf-thre", type=float, default=0.005)
     parser.add_argument("--nms-thre", type=float, default=0.4)
     parser.add_argument("--preproc-threads", type=int, default=8)
-    args = parser.parse_args()
+    return parser.parse_args()
+
+
+def main(args=None):
+    args = args or parse_args()
     size, batch = args.img_size, args.batch_size
 
     cfg = load_config()
@@ -294,11 +310,11 @@ def device_rates(predictor, preprocess_batch, batch, size):
 
 
 if __name__ == "__main__":
+    # parse BEFORE probing: --help must not probe the backend, and the
+    # fallback metric name must reflect the requested size (incl. the
+    # --img-size=N form)
+    _args = parse_args()
     if ensure_backend():
-        main()
+        main(_args)
     else:
-        # parse --img-size only; argparse runs fully inside main() otherwise
-        _size = 608
-        if "--img-size" in sys.argv:
-            _size = int(sys.argv[sys.argv.index("--img-size") + 1])
-        emit_backend_down(_size)
+        emit_backend_down(_args.img_size)

@@ -20,9 +20,12 @@ REQUIRED = {"metric", "value", "unit", "vs_baseline"}
 
 
 def _capture_emit(tmp_path, seed_last=None, monkeypatch=None):
-    monkeypatch.chdir(tmp_path)
+    # LAST_RESULT_PATH is repo-root-anchored (the driver may run bench.py
+    # from any cwd); point it into the sandbox for the test
+    path = str(tmp_path / "bench_last.json")
+    monkeypatch.setattr(bench, "LAST_RESULT_PATH", path)
     if seed_last is not None:
-        with open(bench.LAST_RESULT_PATH, "w") as f:
+        with open(path, "w") as f:
             json.dump(seed_last, f)
     buf = io.StringIO()
     monkeypatch.setattr(sys, "stdout", buf)
@@ -55,14 +58,20 @@ def test_backend_down_carries_last_good_result(tmp_path, monkeypatch):
 
 
 def test_backend_down_survives_corrupt_last_file(tmp_path, monkeypatch):
-    monkeypatch.chdir(tmp_path)
-    with open(bench.LAST_RESULT_PATH, "w") as f:
+    with open(tmp_path / "bench_last.json", "w") as f:
         f.write("{not json")
-    monkeypatch.chdir(os.getcwd())
     d = _capture_emit(tmp_path, monkeypatch=monkeypatch)
     # corrupt file is ignored, the line still parses
     assert "last_recorded" not in d
     assert REQUIRED <= set(d)
+
+
+def test_last_result_path_is_repo_anchored():
+    """The driver invokes bench.py from its own cwd; the seed must
+    resolve to the repo copy regardless."""
+    assert os.path.isabs(bench.LAST_RESULT_PATH)
+    assert os.path.dirname(bench.LAST_RESULT_PATH) == os.path.dirname(
+        os.path.abspath(bench.__file__))
 
 
 def test_repo_bench_last_json_is_valid_and_consistent():

@@ -168,6 +168,42 @@ def test_predictor_auto_calibration():
         np.testing.assert_allclose(det_s[b, :3], det_d[b, :3], atol=1e-2)
 
 
+def test_static_recalibrates_after_variables_reassignment():
+    """Trainer.evaluate() reassigns predictor.variables with fresh train
+    state (no "quant" collection) before EVERY validation; an int8_static
+    predictor must then re-calibrate on its next batch instead of
+    dispatching with a sticky ready flag and no scales (flax would raise
+    on the immutable "quant" collection) or with scales describing the
+    previous epoch's weights."""
+    from yolov4_tpu.engine.predictor import Predictor
+
+    cfg = load_config()
+    cfg["MODEL"].update(QUANT="int8_static", WIDTH=0.25, DEPTH=0.25)
+    cfg["TEST"].update(IMGSIZE=64, PRE_NMS_TOPK=64, MAX_DETS=10)
+
+    base = build_model(dict(cfg, MODEL={**cfg["MODEL"], "QUANT": "none"}))
+    v = _realistic_bn(init_variables(base, jax.random.PRNGKey(0), 64))
+
+    pred = Predictor(cfg, variables=v, img_size=64, batch_size=2)
+    imgs = np.random.default_rng(0).random((2, 64, 64, 3)).astype(np.float32)
+    pred(imgs)  # auto-calibrates
+    assert pred._quant_ready and "quant" in pred.variables
+    scale0 = float(jax.tree.leaves(pred.variables["quant"])[0])
+
+    # epoch boundary: fresh (here: perturbed) train state, no quant
+    v2 = jax.tree.map(lambda x: x * 1.5, v)
+    pred.variables = {"params": v2["params"],
+                      "batch_stats": v2["batch_stats"]}
+    assert not pred._quant_ready
+    det, valid = pred(imgs)  # must re-calibrate, not crash
+    assert pred._quant_ready and "quant" in pred.variables
+    scale1 = float(jax.tree.leaves(pred.variables["quant"])[0])
+    assert scale1 != scale0, "scales must describe the NEW weights"
+    # (box values themselves are garbage — a 1.5x-scaled random net
+    # overflows exp(wh) — the contract under test is the recalibration)
+    assert det.shape == (2, 10, 7) and valid.shape == (2, 10)
+
+
 def test_full_model_runs_finite():
     """Quantized eval forward runs end to end and stays finite (with
     conditioned BN stats; random-scale nets can legitimately overflow)."""

@@ -85,14 +85,18 @@ def main():
     args = p.parse_args()
     quant = os.environ.get("YOLOV4_PROFILE_QUANT") == "1"
 
+    # check for a trace BEFORE the (multi-minute) model compile
+    paths = glob.glob(os.path.join(args.trace_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        sys.exit(f"no *.trace.json.gz under {args.trace_dir} — capture one "
+                 f"first (tools/profile_forward.py)")
+    path = max(paths, key=os.path.getmtime)
+
     compiled = build_compiled(args.img_size, args.batch, quant,
                               args.with_nms)
     scopes = op_scopes(compiled.as_text())
     print(f"{len(scopes)} HLO ops carry scope metadata")
-
-    paths = glob.glob(os.path.join(args.trace_dir, "**", "*.trace.json.gz"),
-                      recursive=True)
-    path = max(paths, key=os.path.getmtime)
     with gzip.open(path, "rt") as fh:
         trace = json.load(fh)
     events = trace.get("traceEvents", [])

@@ -78,10 +78,15 @@ def main():
         if args.calib_images:
             for pat in ("*.jpg", "*.png"):
                 paths += glob.glob(os.path.join(args.calib_images, pat))
-        if paths:
-            imgs = np.stack([
-                cv2.resize(cv2.imread(f)[:, :, ::-1], (size, size))
-                for f in paths[:args.batch_size]]).astype(np.uint8)
+        loaded = []
+        for f in paths[:args.batch_size]:
+            img = cv2.imread(f)
+            if img is None:
+                print(f"WARNING: skipping unreadable image {f}")
+                continue
+            loaded.append(cv2.resize(img[:, :, ::-1], (size, size)))
+        if loaded:
+            imgs = np.stack(loaded).astype(np.uint8)
             print(f"calibrating on {len(imgs)} image(s)")
         else:
             print("WARNING: int8_static with no --calib-images — "

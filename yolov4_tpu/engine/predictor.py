@@ -84,6 +84,7 @@ class Predictor:
         self._in_sharding = None
         self._replicated = None
         self._lockstep_done = False
+        self._calib_lockstep_done = False
         if mesh is not None and mesh.devices.size > 1:
             from yolov4_tpu.parallel.mesh import batch_sharding, replicated
             self._in_sharding = batch_sharding(mesh)
@@ -126,8 +127,12 @@ class Predictor:
             and size % 2 == 0)
         s2d_wire = self._s2d_wire
 
-        @partial(jax.jit, static_argnames=())
-        def _run(variables, flat_images, conf_thre, nms_thre):
+        def _wire_to_images(flat_images):
+            # ONE input lowering shared by the serving and calibration
+            # programs: the recorded int8_static scales must describe the
+            # activations the serving program will actually see — a
+            # different lowering produces ulp-different activations whose
+            # shifted quantization grids compound across ~60 layers.
             # Inputs arrive FLAT [B, 3*S*S]: a trailing dim of 3 would be
             # lane-padded 3->128 during host->device transfer (a ~40x
             # tax). Layout on the wire is the s2d stem layout when the
@@ -135,20 +140,17 @@ class Predictor:
             # a cheap device transpose.
             if s2d_wire:
                 images = flat_images.reshape(-1, size // 2, size // 2, 12)
-                if images.dtype == jnp.uint8:
-                    images = images.astype(jnp.float32) / 255.0
-                preds = self.model.apply(variables, images, train=False,
-                                         input_s2d=True)
-                return postprocess(
-                    preds, self.num_classes, conf_thre, nms_thre,
-                    pre_nms_topk=self.pre_nms_topk, max_dets=self.max_dets,
-                    topk_approx=self.topk_approx, cat_cap=self.cat_cap,
-                    return_relevant_count=self.count_relevant)
-            images = flat_images.reshape(-1, 3, size, size)
-            images = jnp.transpose(images, (0, 2, 3, 1))  # -> NHWC
+            else:
+                images = flat_images.reshape(-1, 3, size, size)
+                images = jnp.transpose(images, (0, 2, 3, 1))  # -> NHWC
             if images.dtype == jnp.uint8:
                 images = images.astype(jnp.float32) / 255.0
-            preds = self.model.apply(variables, images, train=False)
+            return images
+
+        @partial(jax.jit, static_argnames=())
+        def _run(variables, flat_images, conf_thre, nms_thre):
+            preds = self.model.apply(variables, _wire_to_images(flat_images),
+                                     train=False, input_s2d=s2d_wire)
             return postprocess(
                 preds, self.num_classes, conf_thre, nms_thre,
                 pre_nms_topk=self.pre_nms_topk, max_dets=self.max_dets,
@@ -159,29 +161,28 @@ class Predictor:
 
         @jax.jit
         def _calib(variables, flat_images):
-            # EXACTLY the serving program's input path (wire layout,
-            # normalization): the recorded scales must describe the
-            # activations the serving program will actually see — a
-            # different input lowering produces ulp-different activations
-            # whose shifted quantization grids compound across ~60
-            # quantized layers.
-            if s2d_wire:
-                images = flat_images.reshape(-1, size // 2, size // 2, 12)
-                if images.dtype == jnp.uint8:
-                    images = images.astype(jnp.float32) / 255.0
-                _, updated = self.model.apply(
-                    variables, images, train=False, input_s2d=True,
-                    mutable=["quant"])
-            else:
-                images = flat_images.reshape(-1, 3, size, size)
-                images = jnp.transpose(images, (0, 2, 3, 1))
-                if images.dtype == jnp.uint8:
-                    images = images.astype(jnp.float32) / 255.0
-                _, updated = self.model.apply(
-                    variables, images, train=False, mutable=["quant"])
+            _, updated = self.model.apply(
+                variables, _wire_to_images(flat_images), train=False,
+                input_s2d=s2d_wire, mutable=["quant"])
             return updated["quant"]
 
         self._calib = _calib
+
+    @property
+    def variables(self):
+        return self._variables
+
+    @variables.setter
+    def variables(self, value):
+        # External reassignment (Trainer.evaluate swaps in fresh train
+        # state every validation) may drop the "quant" collection; an
+        # int8_static predictor must then RE-calibrate on its next batch
+        # — a sticky ready flag would dispatch a program whose calibrated
+        # scales no longer exist (immutable-collection error) or describe
+        # stale weights.
+        self._variables = value
+        if getattr(self, "_quant_static", False) and "quant" not in value:
+            self._quant_ready = False
 
     def _pack_flat(self, images: np.ndarray) -> np.ndarray:
         """Host wire packing shared by dispatch() and calibrate():
@@ -201,7 +202,24 @@ class Predictor:
         feed = dict(base)
         if "quant" in self.variables:
             feed["quant"] = self.variables["quant"]
-        quant = jax.device_get(self._calib(feed, jnp.asarray(flat)))
+        if self._in_sharding is not None:
+            # mesh predictor: the calibration batch must enter through the
+            # same global sharding as serving batches (a process-local
+            # array cannot feed a jit over globally-sharded variables),
+            # and multi-process runs need the same compile-then-barrier
+            # as dispatch() so gloo's ~30 s communicator rendezvous isn't
+            # blown by cross-process compile skew.
+            arr = jax.make_array_from_process_local_data(
+                self._in_sharding, flat)
+            if jax.process_count() > 1 and not self._calib_lockstep_done:
+                from yolov4_tpu.parallel.mesh import coordinator_lockstep
+                self._calib.lower(feed, arr).compile()
+                coordinator_lockstep(f"calib_{self.img_size}"
+                                     f"_{self.batch_size}")
+                self._calib_lockstep_done = True
+        else:
+            arr = jnp.asarray(flat)
+        quant = jax.device_get(self._calib(feed, arr))
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
             # every process must serve with identical scales: take the
