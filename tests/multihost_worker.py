@@ -97,6 +97,31 @@ def run_trainer():
         print(f"MHOK ckpt pid=0 bytes={os.path.getsize(ckpt)}", flush=True)
 
 
+def check_quant_calibrate():
+    """int8_static auto-calibration over the 2-process mesh: the batch
+    enters through the global input sharding, the calib program compiles
+    under the coordinator lockstep, and the cross-process allgather-max
+    leaves IDENTICAL scales on every process (each feeds different
+    images here, so equality proves the reduction ran)."""
+    from yolov4_tpu.config import load_config
+    from yolov4_tpu.engine.predictor import Predictor
+    from yolov4_tpu.parallel.mesh import create_mesh
+
+    cfg = load_config()
+    cfg["MODEL"].update(WIDTH=0.25, DEPTH=0.25, QUANT="int8_static")
+    cfg["TEST"].update(IMGSIZE=64, PRE_NMS_TOPK=64, MAX_DETS=10)
+    pred = Predictor(cfg, img_size=64, batch_size=4, mesh=create_mesh())
+    imgs = np.random.default_rng(100 + PID).random(
+        (4, 64, 64, 3)).astype(np.float32)
+    det, valid = pred(imgs)  # dispatch -> multi-process auto-calibrate
+    assert pred._quant_ready and "quant" in pred.variables
+    assert det.shape[-1] == 7, det.shape
+    scales = jax.tree.leaves(jax.device_get(pred.variables["quant"]))
+    fp = float(sum(np.asarray(s, np.float64).sum() for s in scales))
+    print(f"MHOK quant pid={PID} scalesum={fp:.9e}", flush=True)
+
+
 check_gather_rows()
+check_quant_calibrate()
 run_trainer()
 print(f"MHOK done pid={PID}", flush=True)

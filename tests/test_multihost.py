@@ -75,6 +75,15 @@ def test_two_process_train_eval_checkpoint(tmp_path):
 
     f0, f1 = fit_line(outs[0], 0), fit_line(outs[1], 1)
     assert f0["ap50"] == f1["ap50"] and f0["ap"] == f1["ap"], (f0, f1)
+    # int8_static calibration: the cross-process max must leave BOTH
+    # processes with identical scales despite different local images
+    def quant_line(out, pid):
+        for line in out.splitlines():
+            if line.startswith(f"MHOK quant pid={pid}"):
+                return line.split("scalesum=")[1]
+        raise AssertionError(f"no quant line for pid {pid}")
+
+    assert quant_line(outs[0], 0) == quant_line(outs[1], 1)
     # dataset sharding: each process trained on its own half (8 imgs, b4)
     assert f0["batches"] == f1["batches"] == "1", (f0, f1)
     assert "MHOK ckpt pid=0" in outs[0]
