@@ -65,11 +65,20 @@ def main():
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--parts", type=str, default="fwd,fwd_nms,nms")
     p.add_argument("--conf-thre", type=float, default=0.005)
+    p.add_argument("--quant", choices=["none", "int8", "int8_static"],
+                   default="none", help="serving quant mode for the "
+                   "fwd/fwd_nms parts (int8_static auto-calibrates on the "
+                   "benchmark input)")
+    p.add_argument("--approx-topk", action="store_true",
+                   help="fwd_nms uses approx_max_k candidate selection "
+                   "(recall 0.95, the opt-in TEST.APPROX_TOPK trade)")
     args = p.parse_args()
     parts = args.parts.split(",")
     size, b = args.img_size, args.batch
 
     cfg = load_config()
+    if args.quant != "none":
+        cfg["MODEL"]["QUANT"] = args.quant
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.random((b, size, size, 3)), jnp.float32)
 
@@ -90,21 +99,31 @@ def main():
         model = build_model(cfg)
         variables = jax.device_put(
             init_variables(model, jax.random.PRNGKey(0), size))
+        if args.quant == "int8_static":
+            # record calibration scales once (dynamic abs-max pass), then
+            # every timed program runs with the stored static scalars
+            _, upd = jax.jit(lambda v, x: model.apply(
+                v, x, train=False, mutable=["quant"]))(variables, imgs)
+            variables = jax.device_put({**variables, **upd})
+
+    tag = "" if args.quant == "none" else f" {args.quant}"
 
     if {"fwd", "fwd_nms"} & set(parts):
         f = fwd_fn(model)
         if "fwd" in parts:
-            results["fwd+decode (s2d)"] = timed(f, (variables, imgs),
-                                                args.iters)
+            results[f"fwd+decode (s2d){tag}"] = timed(f, (variables, imgs),
+                                                      args.iters)
 
         if "fwd_nms" in parts:
             @jax.jit
             def full(v, x):
                 preds = model.apply(v, x, train=False)
                 return postprocess(preds, 80, args.conf_thre, 0.4,
-                                   pre_nms_topk=2048, max_dets=100)
-            results["fwd+decode+NMS (s2d)"] = timed(full, (variables, imgs),
-                                                    args.iters)
+                                   pre_nms_topk=2048, max_dets=100,
+                                   topk_approx=args.approx_topk)
+            nm = f"fwd+decode+NMS (s2d){tag}" + (
+                " approx-topk" if args.approx_topk else "")
+            results[nm] = timed(full, (variables, imgs), args.iters)
 
     if "fwd_plain" in parts:
         import yolov4_tpu.models.yolov4 as y4
@@ -139,14 +158,19 @@ def main():
         labels = np.zeros((tb, 60, 5), np.float32)
         labels[:, 0] = [100, 100, 40, 40, 3]
 
+        # the step donates its state, and block_until_ready over donated
+        # outputs can return early on this backend (PERF.md rule #3):
+        # sync by FETCHING a param value — the optimizer writes params
+        # last and a value fetch cannot lie
+        small_leaf = min(
+            range(len(jax.tree.leaves(variables_t["params"]))),
+            key=lambda i: jax.tree.leaves(variables_t["params"])[i].size)
+
         def window(step, state, inputs, iters=10):
-            # block on the FULL state: the loss buffer becomes ready at the
-            # end of the forward, BEFORE backward+optimizer complete, so
-            # loss-only blocking understates the step by several x
             t0 = time.time()
             for _ in range(iters):
                 state = step(state, *inputs)
-            jax.block_until_ready(state)
+            np.asarray(jax.tree.leaves(state.params)[small_leaf])
             return (time.time() - t0) / iters * 1000.0, state
 
         # the step donates its state: give each variant its own buffer copy
@@ -210,10 +234,12 @@ def main():
         jax.block_until_ready(f_approx(variables, imgs))
 
         def one_window(f, iters):
+            # value-fetch sync (PERF.md rule #4: block_until_ready can lie
+            # on plain repeated dispatches too)
             t0 = time.time()
             for _ in range(iters):
                 out = f(variables, imgs)
-            jax.block_until_ready(out)
+            np.asarray(out[0][0, 0, 0])
             return (time.time() - t0) / iters * 1000.0
 
         e_ms, a_ms, ratios = [], [], []
