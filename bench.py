@@ -253,6 +253,30 @@ def device_rates(predictor, preprocess_batch, batch, size):
     except Exception as e:  # noqa: BLE001 — never endanger the primary metric
         print(f"device fwd+NMS measurement failed: {e!r}", file=sys.stderr)
 
+    # int8_static serving preset rate (opt-in serving mode, PERF.md):
+    # measured in a TIMEOUT-BOUNDED subprocess so a cold compilation
+    # cache can never blow the driver's bench budget — on a cache-warm
+    # box it adds ~2 min, on a cold one it's killed and the field stays
+    # null. YOLOV4_BENCH_QUANT_S=0 skips it.
+    quant_s = float(os.environ.get("YOLOV4_BENCH_QUANT_S", "600"))
+    extra["device_fwd_nms_int8_static_img_s"] = None
+    if quant_s > 0:
+        import re
+        import subprocess
+        try:
+            proc = subprocess.run(
+                [sys.executable, "tools/bench_device.py", "--parts",
+                 "fwd_nms", "--quant", "int8_static",
+                 "--img-size", str(size), "--batch", str(batch)],
+                cwd=_os.path.dirname(LAST_RESULT_PATH), timeout=quant_s,
+                capture_output=True, text=True)
+            m = re.search(r"NMS.*?([\d.]+) ms/batch\s+([\d.]+) img/s",
+                          proc.stdout)
+            if m:
+                extra["device_fwd_nms_int8_static_img_s"] = float(m.group(2))
+        except Exception as e:  # noqa: BLE001
+            print(f"int8_static measurement skipped: {e!r}", file=sys.stderr)
+
     if os.environ.get("YOLOV4_BENCH_TRAIN", "1") != "1":
         return extra
     try:
