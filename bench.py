@@ -240,10 +240,12 @@ def device_rates(predictor, preprocess_batch, batch, size):
         v, ct, nt = predictor.variables, predictor.conf_thre, predictor.nms_thre
 
         def dev_window(iters=20):
+            # value-fetch sync: block_until_ready can return early on this
+            # backend even for plain repeated dispatches (PERF.md rule #4)
             t0 = time.time()
             for _ in range(iters):
                 out = predictor._run(v, dev, ct, nt)
-            jax.block_until_ready(out)
+            np.asarray(jax.tree.leaves(out)[0][0, 0, 0])
             return (time.time() - t0) / iters * 1000.0
 
         dev_window(3)
@@ -258,22 +260,34 @@ def device_rates(predictor, preprocess_batch, batch, size):
     # cache can never blow the driver's bench budget — on a cache-warm
     # box it adds ~2 min, on a cold one it's killed and the field stays
     # null. YOLOV4_BENCH_QUANT_S=0 skips it.
-    quant_s = float(os.environ.get("YOLOV4_BENCH_QUANT_S", "600"))
     extra["device_fwd_nms_int8_static_img_s"] = None
+    try:
+        # 900 s: the subprocess re-uploads the full weights (~250 MB),
+        # which alone can take minutes when the shared tunnel is congested
+        # (observed: the same cache-warm run takes 3.5 min quiet, >10 min
+        # congested)
+        quant_s = float(os.environ.get("YOLOV4_BENCH_QUANT_S", "900"))
+    except ValueError:
+        quant_s = 0.0  # malformed value = skip, never lose the e2e metric
     if quant_s > 0:
-        import re
         import subprocess
         try:
             proc = subprocess.run(
                 [sys.executable, "tools/bench_device.py", "--parts",
-                 "fwd_nms", "--quant", "int8_static",
-                 "--img-size", str(size), "--batch", str(batch)],
+                 "fwd_nms", "--quant", "int8_static", "--json",
+                 "--img-size", str(size), "--batch", str(batch),
+                 "--conf-thre", str(predictor.conf_thre),
+                 "--nms-thre", str(predictor.nms_thre)],
                 cwd=_os.path.dirname(LAST_RESULT_PATH), timeout=quant_s,
                 capture_output=True, text=True)
-            m = re.search(r"NMS.*?([\d.]+) ms/batch\s+([\d.]+) img/s",
-                          proc.stdout)
-            if m:
-                extra["device_fwd_nms_int8_static_img_s"] = float(m.group(2))
+            if proc.returncode != 0:
+                print(f"int8_static bench_device rc={proc.returncode}: "
+                      f"{proc.stderr.strip()[-500:]}", file=sys.stderr)
+            else:
+                data = json.loads(proc.stdout.strip().splitlines()[-1])
+                ms = next(iter(data["results"].values()))
+                extra["device_fwd_nms_int8_static_img_s"] = round(
+                    data["batch"] / (ms / 1000.0), 1)
         except Exception as e:  # noqa: BLE001
             print(f"int8_static measurement skipped: {e!r}", file=sys.stderr)
 
@@ -310,8 +324,8 @@ def device_rates(predictor, preprocess_batch, batch, size):
         # showed 47.5 ms/step where full-state blocking measured 28).
         # FETCHING a param VALUE cannot lie: the optimizer writes it at the
         # very end of the step, and np.asarray must produce real data.
-        small_leaf = min(range(len(jax.tree.leaves(state.params))),
-                         key=lambda i: jax.tree.leaves(state.params)[i].size)
+        leaves0 = jax.tree.leaves(state.params)
+        small_leaf = min(range(len(leaves0)), key=lambda i: leaves0[i].size)
 
         def train_window(state, iters=10):
             t0 = time.time()

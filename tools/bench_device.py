@@ -65,6 +65,11 @@ def main():
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--parts", type=str, default="fwd,fwd_nms,nms")
     p.add_argument("--conf-thre", type=float, default=0.005)
+    p.add_argument("--nms-thre", type=float, default=0.4)
+    p.add_argument("--json", action="store_true",
+                   help="additionally print ONE machine-readable JSON line "
+                   '{"batch": B, "results": {name: ms_per_batch}} as the '
+                   "last stdout line (for callers like bench.py)")
     p.add_argument("--quant", choices=["none", "int8", "int8_static"],
                    default="none", help="serving quant mode for the "
                    "fwd/fwd_nms parts (int8_static auto-calibrates on the "
@@ -102,9 +107,9 @@ def main():
         if args.quant == "int8_static":
             # record calibration scales once (dynamic abs-max pass), then
             # every timed program runs with the stored static scalars
-            _, upd = jax.jit(lambda v, x: model.apply(
-                v, x, train=False, mutable=["quant"]))(variables, imgs)
-            variables = jax.device_put({**variables, **upd})
+            from yolov4_tpu.models.yolov4 import calibrate_variables
+            variables = jax.device_put(
+                calibrate_variables(model, variables, imgs))
 
     tag = "" if args.quant == "none" else f" {args.quant}"
 
@@ -118,7 +123,7 @@ def main():
             @jax.jit
             def full(v, x):
                 preds = model.apply(v, x, train=False)
-                return postprocess(preds, 80, args.conf_thre, 0.4,
+                return postprocess(preds, 80, args.conf_thre, args.nms_thre,
                                    pre_nms_topk=2048, max_dets=100,
                                    topk_approx=args.approx_topk)
             nm = f"fwd+decode+NMS (s2d){tag}" + (
@@ -162,9 +167,8 @@ def main():
         # outputs can return early on this backend (PERF.md rule #3):
         # sync by FETCHING a param value — the optimizer writes params
         # last and a value fetch cannot lie
-        small_leaf = min(
-            range(len(jax.tree.leaves(variables_t["params"]))),
-            key=lambda i: jax.tree.leaves(variables_t["params"])[i].size)
+        leaves = jax.tree.leaves(variables_t["params"])
+        small_leaf = min(range(len(leaves)), key=lambda i: leaves[i].size)
 
         def window(step, state, inputs, iters=10):
             t0 = time.time()
@@ -224,7 +228,7 @@ def main():
             @jax.jit
             def full(v, x):
                 preds = model.apply(v, x, train=False)
-                return postprocess(preds, 80, args.conf_thre, 0.4,
+                return postprocess(preds, 80, args.conf_thre, args.nms_thre,
                                    pre_nms_topk=2048, max_dets=100,
                                    topk_approx=approx)
             return full
@@ -260,12 +264,16 @@ def main():
         wh = jnp.asarray(rng.uniform(8, 120, (b, k, 2)), jnp.float32)
         xyxy = jnp.concatenate([boxes, boxes + wh], -1)
         valid = jnp.ones((b, k), bool)
-        f = jax.jit(lambda bx, v: greedy_nms_mask(bx, v, 0.4))
+        f = jax.jit(lambda bx, v: greedy_nms_mask(bx, v, args.nms_thre))
         results[f"NMS K={k}"] = timed(f, (xyxy, valid), args.iters)
 
     for name, ms in results.items():
         rate = args.batch / (ms / 1000.0)
         print(f"{name:28s} {ms:8.2f} ms/batch   {rate:8.1f} img/s")
+    if args.json:
+        import json
+
+        print(json.dumps({"batch": args.batch, "results": results}))
 
 
 if __name__ == "__main__":

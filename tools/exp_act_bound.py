@@ -73,9 +73,9 @@ def main():
                                               size))
     imgs = jnp.asarray(rng.random((batch, size, size, 3)), jnp.float32)
     if args.quant == "int8_static":
-        _, upd = jax.jit(lambda v, x: model.apply(
-            v, x, train=False, mutable=["quant"]))(variables, imgs)
-        variables = jax.device_put({**variables, **upd})
+        from yolov4_tpu.models.yolov4 import calibrate_variables
+        variables = jax.device_put(calibrate_variables(model, variables,
+                                                       imgs))
 
     f_mish = compile_fwd(model, variables, imgs)
 

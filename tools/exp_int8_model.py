@@ -76,9 +76,8 @@ def main():
     if args.static:
         # record calibration scales once (dynamic abs-max pass), then time
         # the static program with them
-        _, upd = jax.jit(lambda v, x: mq.apply(
-            v, x, train=False, mutable=["quant"]))(variables, imgs)
-        qvariables = jax.device_put({**variables, **upd})
+        from yolov4_tpu.models.yolov4 import calibrate_variables
+        qvariables = jax.device_put(calibrate_variables(mq, variables, imgs))
     else:
         qvariables = variables
 

@@ -124,3 +124,22 @@ def init_variables(model: nn.Module, rng: jax.Array, img_size: int,
     dummy = jnp.zeros((batch_size, img_size, img_size, 3), jnp.float32)
     init_fn = jax.jit(lambda r, d: model.init({"params": r}, d, train=False))
     return init_fn(rng, dummy)
+
+
+def calibrate_variables(model: nn.Module, variables: Dict[str, Any],
+                        images: jnp.ndarray) -> Dict[str, Any]:
+    """Record int8_static calibration state on raw model variables.
+
+    Runs one eval forward with the "quant" collection mutable so every
+    quantized conv stores its activation abs-max scale and pre-quantized
+    weights (layers.ConvBNAct); returns ``variables`` merged with the
+    recorded collection — ready for a QUANT="int8_static" apply. This is
+    the raw-pytree counterpart of ``Predictor.calibrate`` (which adds
+    wire packing and the multi-host cross-process max), shared by the
+    measurement tools so the calibration idiom lives in one place.
+
+    ``images``: representative NHWC float batch in [0, 1].
+    """
+    _, upd = jax.jit(lambda v, x: model.apply(
+        v, x, train=False, mutable=["quant"]))(variables, images)
+    return {**variables, **upd}
