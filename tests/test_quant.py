@@ -204,6 +204,158 @@ def test_static_recalibrates_after_variables_reassignment():
     assert det.shape == (2, 10, 7) and valid.shape == (2, 10)
 
 
+def _span_cfg(wpack, quant, span):
+    cfg = load_config()
+    cfg["MODEL"].update(WIDTH=0.5, DEPTH=0.5, WPACK=wpack, QUANT=quant,
+                        QUANT_SPAN=span)
+    return cfg
+
+
+def test_full_span_quantizes_stage12():
+    """QUANT_SPAN 'full' must actually add int8 conv sites for
+    stage1/stage2 over 'late' (guards against the span knob silently
+    doing nothing): counted as i8 mentions in the lowered HLO."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    base = build_model(_span_cfg(False, "none", "late"))
+    v = init_variables(base, jax.random.PRNGKey(0), 64)
+
+    def i8_sites(cfg):
+        m = build_model(cfg)
+        txt = jax.jit(
+            lambda vv, xx: m.apply(vv, xx, train=False)).lower(v, x).as_text()
+        # StableHLO spells the dtype inside tensor types: "tensor<...xi8>"
+        return txt.count("xi8>") + txt.count("<i8>")
+
+    none = i8_sites(_span_cfg(False, "none", "full"))
+    late = i8_sites(_span_cfg(False, "int8", "late"))
+    full = i8_sites(_span_cfg(False, "int8", "full"))
+    full_packed = i8_sites(_span_cfg("stage12", "int8", "full"))
+    assert none == 0
+    assert full > late > 0
+    assert full_packed > late
+
+
+def _wpack(x):
+    b, h, w, c = x.shape
+    return x.reshape(b, h, w // 2, 2 * c)
+
+
+def _wunpack(x):
+    b, h, w2, c2 = x.shape
+    return x.reshape(b, h, w2 * 2, c2 // 2)
+
+
+@pytest.mark.parametrize("ksize", [1, 3])
+def test_wpack_quant_layer_bit_identical(ksize):
+    """Lane-packed int8 layer == unpacked int8 layer BITWISE on the same
+    values: BN folds into the original kernel before rearrangement
+    (per-packed-channel scales equal the original scales tiled), the
+    per-tensor activation abs-max is an exact reduction over the same
+    element set, integer accumulation is exact over the extra zero
+    blocks, and the f32 dequant arithmetic is elementwise identical.
+
+    Pinned at LAYER level deliberately: at model level the surrounding
+    bf16 convs are separate XLA programs whose reduction orders differ
+    by ulps, and a bf16 ulp (~0.4% rel) legitimately flips int8 rounding
+    decisions downstream (same reason test_predictor_auto_calibration
+    asserts agreement, not equality)."""
+    from yolov4_tpu.models.layers import _WPackConvBN
+
+    rng = np.random.default_rng(0)
+    ci, co, hw = 32, 32, 12
+    x = jnp.asarray(rng.standard_normal((2, hw, hw, ci)), jnp.float32)
+    plain = ConvBNAct(co, ksize, 1, act="mish", quant="int8")
+    packed = _WPackConvBN(ci, co, ksize, act="mish", quant="int8")
+    v = _realistic_bn(_variables_for(plain, x))
+    yu = np.asarray(plain.apply(v, x, train=False))
+    yp = np.asarray(packed.apply(v, _wpack(x), train=False))
+    np.testing.assert_array_equal(_wunpack(yp), yu)
+
+
+def test_wpack_quant_concat_layer_bit_identical():
+    """The transition conv's concat form: _WPackConvBN(concat_ca) on
+    concat([A_packed, B_packed]) == plain 1x1 int8 on concat([A, B]),
+    bitwise (same exact-arithmetic argument as above)."""
+    from yolov4_tpu.models.layers import _WPackConvBN
+
+    rng = np.random.default_rng(2)
+    ca, cb, co, hw = 32, 16, 48, 12
+    a = jnp.asarray(rng.standard_normal((2, hw, hw, ca)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((2, hw, hw, cb)), jnp.float32)
+    xu = jnp.concatenate([a, b], axis=-1)
+    xp = jnp.concatenate([_wpack(a), _wpack(b)], axis=-1)
+    plain = ConvBNAct(co, 1, 1, act="mish", quant="int8")
+    packed = _WPackConvBN(ca + cb, co, 1, act="mish", quant="int8",
+                          concat_ca=ca)
+    v = _realistic_bn(_variables_for(plain, xu))
+    yu = np.asarray(plain.apply(v, xu, train=False))
+    yp = np.asarray(packed.apply(v, xp, train=False))
+    np.testing.assert_array_equal(_wunpack(yp), yu)
+
+
+def test_wpack_static_matches_dynamic_layer():
+    """Packed int8_static with scales calibrated on batch X reproduces
+    packed dynamic int8 on X bit-for-bit (the packed twin of
+    test_static_scales_match_dynamic_on_calibration_batch)."""
+    from yolov4_tpu.models.layers import _WPackConvBN
+
+    rng = np.random.default_rng(1)
+    ci, co, hw = 32, 32, 12
+    xp = _wpack(jnp.asarray(rng.standard_normal((2, hw, hw, ci)),
+                            jnp.float32))
+    dyn = _WPackConvBN(ci, co, 3, act="mish", quant="int8")
+    sta = _WPackConvBN(ci, co, 3, act="mish", quant="int8_static")
+    v = _realistic_bn(dyn.init({"params": jax.random.PRNGKey(0)}, xp,
+                               train=False))
+    y_dyn = np.asarray(dyn.apply(v, xp, train=False))
+    _, upd = dyn.apply(v, xp, train=False, mutable=["quant"])
+    assert jax.tree.leaves(upd["quant"])
+    y_sta = np.asarray(sta.apply({**v, **upd}, xp, train=False))
+    np.testing.assert_array_equal(y_dyn, y_sta)
+
+
+def test_wpack_int8_model_agrees_with_unpacked():
+    """Full-span packed vs unpacked int8 at MODEL level: agreement, not
+    equality (bf16 cross-program ulps flip int8 roundings — see the
+    layer-level tests for the bitwise pin). Guards the stage wiring:
+    a bias-tiling or scale-layout bug would corrupt scores massively."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    mu = build_model(_span_cfg(False, "int8", "full"))
+    mp = build_model(_span_cfg("stage12", "int8", "full"))
+    v = _realistic_bn(init_variables(mu, jax.random.PRNGKey(0), 64))
+    yu = np.asarray(mu.apply(v, x, train=False), np.float32)
+    yp = np.asarray(mp.apply(v, x, train=False), np.float32)
+    # sigmoid-space scores (obj + classes) agree tightly
+    np.testing.assert_allclose(yu[..., 4:], yp[..., 4:], atol=0.05)
+    # box geometry: bulk agreement (exp(wh) amplifies rounding flips on
+    # a random-init net, so pin the median, not the max)
+    assert np.median(np.abs(yu[..., :4] - yp[..., :4])) < 0.5
+    assert np.corrcoef(yu.ravel(), yp.ravel())[0, 1] > 0.999
+
+
+def test_full_span_train_path_untouched():
+    """Full-span quant must leave training numerics alone, packed and
+    unpacked alike (stage1/2 quant branches are eval-only): each quant
+    model's train outputs are BIT-identical to the same-layout non-quant
+    model's (packed-vs-unpacked train equivalence itself is covered at
+    its own tolerance by tests/test_wpack.py)."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    v = init_variables(build_model(_span_cfg(False, "none", "late")),
+                       jax.random.PRNGKey(0), 64)
+    for wpack in (False, "stage12"):
+        mb = build_model(_span_cfg(wpack, "none", "late"))
+        mq = build_model(_span_cfg(wpack, "int8", "full"))
+        ob, sb = mb.apply(v, x, train=True, mutable=["batch_stats"])
+        oq, sq = mq.apply(v, x, train=True, mutable=["batch_stats"])
+        for a, b in zip(jax.tree.leaves(oq), jax.tree.leaves(ob)):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(sq), jax.tree.leaves(sb)):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_full_model_runs_finite():
     """Quantized eval forward runs end to end and stays finite (with
     conditioned BN stats; random-scale nets can legitimately overflow)."""

@@ -95,24 +95,38 @@ def mm_chain(tag, x, w, depth, out_dtype):
 
 
 SHAPES = [
-    ("s19k3", 19, 512, 3),
-    ("s19k1", 19, 1024, 1),
-    ("s38k3", 38, 256, 3),
-    ("s76k3", 76, 128, 3),
-    ("s152k1", 152, 128, 1),
+    # (tag, h, w, channels, kernel)
+    ("s19k3", 19, 19, 512, 3),
+    ("s19k1", 19, 19, 1024, 1),
+    ("s38k3", 38, 38, 256, 3),
+    ("s76k3", 76, 76, 128, 3),
+    ("s152k1", 152, 152, 128, 1),
+    # early-stage shapes (stage1/2 interiors). The round-3 act-bound probe
+    # disproved "Mish-VPU-bound" for the packed stages, so int8 there is
+    # back on the table: unpacked C=64 at 304^2, and the W-packed layout
+    # (two image columns per 128 channels — the packed 3x3 kernel is half
+    # zero blocks but the MXU doesn't skip zeros, so a dense random
+    # [3,3,128,128] probe prices it exactly)
+    ("e304k3c64", 304, 304, 64, 3),
+    ("e304k1c64", 304, 304, 64, 1),
+    ("p304k3c128", 304, 152, 128, 3),
+    ("p304k1c128", 304, 152, 128, 1),
+    ("e152k3c128", 152, 152, 128, 3),
 ]
 
 
-def build(depth, batch):
+def build(depth, batch, only=None):
     rng = np.random.default_rng(0)
+    shapes = [s for s in SHAPES if only is None or re.search(only, s[0])]
     args = {}
-    for tag, s, c, k in SHAPES:
-        xb = jnp.asarray(rng.standard_normal((batch, s, s, c)), jnp.bfloat16)
+    for tag, h, wd, c, k in shapes:
+        xb = jnp.asarray(rng.standard_normal((batch, h, wd, c)), jnp.bfloat16)
         wb = jnp.asarray(rng.standard_normal((k, k, c, c)) * 0.05,
                          jnp.bfloat16)
-        xi = jnp.asarray(rng.integers(-127, 128, (batch, s, s, c)), jnp.int8)
+        xi = jnp.asarray(rng.integers(-127, 128, (batch, h, wd, c)), jnp.int8)
         wi = jnp.asarray(rng.integers(-127, 128, (k, k, c, c)), jnp.int8)
         args[tag] = (xb, wb, xi, wi)
+    mm = only is None or re.search(only, "mm")
     mmb = (jnp.asarray(rng.standard_normal((5776, 512)), jnp.bfloat16),
            jnp.asarray(rng.standard_normal((512, 512)) * 0.05, jnp.bfloat16))
     mmi = (jnp.asarray(rng.integers(-127, 128, (5776, 512)), jnp.int8),
@@ -120,18 +134,20 @@ def build(depth, batch):
 
     def run(a, mb, mi):
         outs = []
-        for tag, _, _, _ in SHAPES:
+        for tag, _, _, _, _ in shapes:
             xb, wb, xi, wi = a[tag]
             outs.append(conv_chain_bf16(f"{tag}_bf16", xb, wb, depth))
             outs.append(conv_chain_i8(f"{tag}_i8raw", xi, wi, depth,
                                       requant=False))
             outs.append(conv_chain_i8(f"{tag}_i8rq", xi, wi, depth,
                                       requant=True))
-        outs.append(mm_chain("mm_bf16", mb[0], mb[1], depth, jnp.bfloat16))
-        outs.append(mm_chain("mm_i8", mi[0], mi[1], depth, jnp.int8))
+        if mm:
+            outs.append(mm_chain("mm_bf16", mb[0], mb[1], depth,
+                                 jnp.bfloat16))
+            outs.append(mm_chain("mm_i8", mi[0], mi[1], depth, jnp.int8))
         return [o.reshape(-1)[0] for o in outs]
 
-    return run, (args, mmb, mmi)
+    return run, (args, mmb, mmi), shapes
 
 
 def hlo_op_tags(compiled_text):
@@ -140,8 +156,9 @@ def hlo_op_tags(compiled_text):
     pat = re.compile(r"%?([\w.\-]+) = .*metadata=\{[^}]*op_name=\"([^\"]+)\"")
     for m in pat.finditer(compiled_text):
         op, scope = m.groups()
-        for t in re.findall(r"(s\d+k\d+_(?:bf16|i8raw|i8rq)|mm_(?:bf16|i8))",
-                            scope):
+        for t in re.findall(
+                r"([sep]\d+k\d+(?:c\d+)?_(?:bf16|i8raw|i8rq)|mm_(?:bf16|i8))",
+                scope):
             tags[op] = t
             break
     return tags
@@ -181,7 +198,7 @@ def summarize(trace_dir, tags, depth, iters):
         rows[t] = us
         print(f"  {t:14s} {us:9.1f} us/layer")
     print("\nratios (vs bf16):")
-    for tag, _, _, _ in SHAPES + [("mm", 0, 0, 0)]:
+    for tag, *_ in SHAPES + [("mm",)]:
         b = rows.get(f"{tag}_bf16")
         if not b:
             continue
@@ -203,9 +220,11 @@ def main():
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--trace-dir", type=str, default="/tmp/int8_trace")
+    p.add_argument("--only", type=str, default=None,
+                   help="regex over shape tags; 'mm' matches the matmul")
     args = p.parse_args()
 
-    run, fargs = build(args.depth, args.batch)
+    run, fargs, _ = build(args.depth, args.batch, args.only)
     jf = jax.jit(run)
     t0 = time.time()
     lowered = jf.lower(*fargs)

@@ -61,13 +61,24 @@ def main():
     p.add_argument("--static", action="store_true",
                    help="compare int8_static (calibrated scales) instead "
                    "of dynamic int8 against bf16")
+    p.add_argument("--span", choices=["late", "full"], default=None,
+                   help="QUANT_SPAN for the quant side (default: config)")
+    p.add_argument("--base", choices=["bf16", "int8-late"], default="bf16",
+                   help="baseline side: plain bf16, or int8 with span "
+                   "'late' (to isolate the stage1/2 full-span delta)")
     args = p.parse_args()
     size, batch = args.size, args.batch
     rng = np.random.default_rng(0)
 
-    mp = build_model(load_config())
+    qmode = "int8_static" if args.static else "int8"
+    cfgp = load_config()
+    if args.base == "int8-late":
+        cfgp["MODEL"].update(QUANT=qmode, QUANT_SPAN="late")
+    mp = build_model(cfgp)
     cfgq = load_config()
-    cfgq["MODEL"]["QUANT"] = "int8_static" if args.static else "int8"
+    cfgq["MODEL"]["QUANT"] = qmode
+    if args.span:
+        cfgq["MODEL"]["QUANT_SPAN"] = args.span
     mq = build_model(cfgq)
 
     variables = jax.device_put(init_variables(mp, jax.random.PRNGKey(0), size))
@@ -78,6 +89,9 @@ def main():
         # the static program with them
         from yolov4_tpu.models.yolov4 import calibrate_variables
         qvariables = jax.device_put(calibrate_variables(mq, variables, imgs))
+        if args.base == "int8-late":
+            variables = jax.device_put(
+                calibrate_variables(mp, variables, imgs))
     else:
         qvariables = variables
 

@@ -98,19 +98,20 @@ def main():
         import copy
 
         for mode in ("int8", "int8_static"):
-            qcfg = copy.deepcopy(dict(cfg))
-            qcfg["MODEL"]["QUANT"] = mode
-            qpred = Predictor(
-                qcfg, variables={"params": state.params,
-                                 "batch_stats": state.batch_stats},
-                img_size=S, batch_size=B, conf_thre=0.3, nms_thre=0.4)
-            # int8_static auto-calibrates on the first dispatched batch
-            qap, qap50 = validate(
-                DataLoader(val_ds, batch_size=B, shuffle=False),
-                qpred, verbose=False)
-            print(f"{mode} serving eval: AP {qap:.3f} "
-                  f"(delta {qap - ap:+.4f}) AP50 {qap50:.3f} "
-                  f"(delta {qap50 - ap50:+.4f})")
+            for span in ("late", "full"):
+                qcfg = copy.deepcopy(dict(cfg))
+                qcfg["MODEL"].update(QUANT=mode, QUANT_SPAN=span)
+                qpred = Predictor(
+                    qcfg, variables={"params": state.params,
+                                     "batch_stats": state.batch_stats},
+                    img_size=S, batch_size=B, conf_thre=0.3, nms_thre=0.4)
+                # int8_static auto-calibrates on the first dispatched batch
+                qap, qap50 = validate(
+                    DataLoader(val_ds, batch_size=B, shuffle=False),
+                    qpred, verbose=False)
+                print(f"{mode}/{span} serving eval: AP {qap:.3f} "
+                      f"(delta {qap - ap:+.4f}) AP50 {qap50:.3f} "
+                      f"(delta {qap50 - ap50:+.4f})")
 
     assert ap50 > 0.9, "learning smoke failed"
 

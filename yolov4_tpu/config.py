@@ -75,6 +75,11 @@ DEFAULTS: Dict[str, Dict[str, Any]] = {
         # (quantization error); opt-in. Train path and checkpoints
         # unchanged. Measured 0.50-0.64x bf16 per conv (tools/exp_int8.py).
         "QUANT": "none",
+        # quantization span: "late" (stages 3-5 + neck + head) | "full"
+        # (also the stage1/stage2 interiors, incl. their lane-packed
+        # forms — packed int8 is bit-identical to unpacked int8; the
+        # packed 1x1/3x3 int8 chains measured 0.24x/0.46x bf16 on chip).
+        "QUANT_SPAN": "full",
     },
     "CRITERION": {
         "TYPE": "YOLOLoss",
@@ -195,6 +200,9 @@ class Config(dict):
         if model.get("QUANT", "none") not in ("none", "int8", "int8_static"):
             raise ValueError("MODEL.QUANT must be 'none', 'int8', or "
                              f"'int8_static': {model['QUANT']}")
+        if model.get("QUANT_SPAN", "late") not in ("late", "full"):
+            raise ValueError("MODEL.QUANT_SPAN must be 'late' or 'full': "
+                             f"{model['QUANT_SPAN']}")
 
 
 def load_config(path: Optional[str] = None) -> Config:

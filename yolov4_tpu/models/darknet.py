@@ -77,10 +77,16 @@ class Backbone(nn.Module):
     #   (tools/exp_wpack.py).
     wpack: Any = False
     # int8 serving quantization (MODEL.QUANT "int8" / "int8_static"):
-    # stages 3-5 run eval-time convs s8xs8->s32 (layers._quant_conv).
-    # Stem/stage1/stage2 keep the bf16 s2d/wpack path (VPU-Mish-bound +
-    # packed layouts).
+    # eval-time convs run s8xs8->s32 (layers._quant_conv). quant_span
+    # "late" quantizes stages 3-5 only; "full" extends into the
+    # stage1/stage2 interiors (incl. their lane-packed forms — the
+    # round-3 act-bound probe killed the "Mish-VPU-bound" exclusion, and
+    # the shape probe measured packed 1x1/3x3 int8 chains at 0.24x/0.46x
+    # bf16, tools/exp_int8.py). The stem and the strided base/boundary
+    # convs stay bf16: their s2d-rearranged kernels are where the s2d
+    # lowering already pays, and they are one conv per stage.
     quant: Any = "none"
+    quant_span: str = "late"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -130,14 +136,15 @@ class Backbone(nn.Module):
         x = ConvBNAct(w(32), 3, 1, act="mish", dtype=d, name="stem", bn_axis=bx,
                       s2d=stem_s2d)(x, train, input_s2d=input_s2d)
 
+        q12 = self.quant if self.quant_span == "full" else "none"
         x = CSPDownSample0(w(64), 3, 2, act="mish", dtype=d, name="stage1",
                            bn_axis=bx, s2d_base=base1_s2d,
                            fused=fused and not wpack,
-                           wpack=wpack)(x, train)
+                           wpack=wpack, quant=q12)(x, train)
         x = CSPDownSample(w(128), 3, 2, num_blocks=nb(2), act="mish", dtype=d,
                           name="stage2", bn_axis=bx, s2d_base=base2_s2d,
                           fused=fused and not wpack2,
-                          wpack=wpack2)(x, train)
+                          wpack=wpack2, quant=q12)(x, train)
         x3 = CSPDownSample(w(256), 3, 2, num_blocks=nb(8), act="mish", dtype=d,
                            bn_axis=bx, name="stage3", s2d_base=base3_s2d,
                            fused=fused, quant=self.quant)(x, train)

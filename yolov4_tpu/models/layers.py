@@ -294,15 +294,57 @@ class _TiledBN(nn.Module):
         return (x.astype(self.dtype) - mt) * st + bt
 
 
-def _quant_weights(kernel, bn_scale):
-    """BN-folded per-output-channel int8 weight quantization:
-    (wq int8 [k,k,ci,co], sw f32 [co])."""
-    wf = kernel * bn_scale  # [k,k,ci,co] f32, BN folded
+def _quant_weights_folded(wf):
+    """Per-output-channel int8 quantization of an (already BN-folded)
+    kernel in its FINAL conv layout — original or wpack/s2d-rearranged
+    (rearranged blocks are copies of original-channel taps, so the
+    per-channel abs-max scales equal the original ones tiled, and the
+    integer conv stays bit-identical to the unpacked one):
+    (wq int8 wf.shape, sw f32 [co])."""
     sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2)), 1e-12) / 127.0
     return jnp.round(wf / sw).astype(jnp.int8), sw
 
 
-def _quant_conv(x, wq, sw, bn_bias, stride, pad, out_dtype, amax=None):
+def _quant_weights(kernel, bn_scale):
+    """BN-folded per-output-channel int8 weight quantization:
+    (wq int8 [k,k,ci,co], sw f32 [co])."""
+    return _quant_weights_folded(kernel * bn_scale)
+
+
+def _quant_state(mdl, qmode, x, wf):
+    """Quant-collection plumbing shared by the int8 conv layers.
+
+    ``wf``: BN-folded f32 kernel in its final conv layout. Returns
+    (wq, sw, amax): the int8 kernel + per-out-channel scales — from the
+    "quant" collection when it exists (int8_static / calibration), else
+    computed on the fly — and the calibrated activation abs-max (None in
+    dynamic mode). When the collection is mutable (a calibration pass)
+    the running activation abs-max and the pre-quantized weights are
+    recorded, so the static serving program never touches the f32
+    kernels again."""
+    recording = (mdl.is_mutable_collection("quant")
+                 and not mdl.is_initializing())
+    amax = None
+    if qmode == "int8_static" or recording:
+        var = mdl.variable("quant", "amax",
+                           lambda: jnp.zeros((), jnp.float32))
+        vwq = mdl.variable("quant", "wq",
+                           lambda: jnp.zeros(wf.shape, jnp.int8))
+        vsw = mdl.variable("quant", "sw",
+                           lambda: jnp.ones((wf.shape[-1],), jnp.float32))
+        if recording:
+            var.value = jnp.maximum(
+                var.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+            vwq.value, vsw.value = _quant_weights_folded(wf)
+        elif qmode == "int8_static":
+            amax = var.value
+        wq, sw = vwq.value, vsw.value
+    else:
+        wq, sw = _quant_weights_folded(wf)
+    return wq, sw, amax
+
+
+def _quant_conv(x, wq, sw, bn_bias, strides, padding, out_dtype, amax=None):
     """Eval-only int8 conv: BN folded into the pre-quantized kernel
     (``_quant_weights``), activations per-tensor, the conv run
     s8 x s8 -> s32 on the MXU, then dequantized + biased in f32.
@@ -314,8 +356,9 @@ def _quant_conv(x, wq, sw, bn_bias, stride, pad, out_dtype, amax=None):
     +-127, the standard post-training-quantization contract).
 
     v5e int8 MACs run at 2x bf16; measured on chip (tools/exp_int8.py) the
-    whole quantize->conv->dequantize chain is 0.50-0.64x the bf16 conv at
-    every MXU-bound shape in this model. Accumulator safety: |sum| <=
+    whole quantize->conv->dequantize chain is 0.24-0.64x the bf16 conv at
+    every MXU- or HBM-bound shape in this model (the chained int8 tensors
+    also halve HBM bytes). Accumulator safety: |sum| <=
     9*2048*127^2 ~ 3e8 < 2^31 for every conv here.
     """
     xf = x.astype(jnp.float32)
@@ -324,7 +367,7 @@ def _quant_conv(x, wq, sw, bn_bias, stride, pad, out_dtype, amax=None):
     sx = jnp.maximum(amax, 1e-12) / 127.0
     xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
     y = jax.lax.conv_general_dilated(
-        xq, wq, (stride, stride), [(pad, pad), (pad, pad)],
+        xq, wq, strides, padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
     return (y.astype(jnp.float32) * (sx * sw) + bn_bias).astype(out_dtype)
@@ -405,28 +448,9 @@ class ConvBNAct(nn.Module):
             # of reads + fold/round work per forward across the model).
             # The variables only exist for static mode / calibration, so
             # plain "int8" variables carry no extra collection.
-            recording = (self.is_mutable_collection("quant")
-                         and not self.is_initializing())
-            amax = None
-            if qmode == "int8_static" or recording:
-                var = self.variable("quant", "amax",
-                                    lambda: jnp.zeros((), jnp.float32))
-                vwq = self.variable("quant", "wq",
-                                    lambda: jnp.zeros(kshape, jnp.int8))
-                vsw = self.variable("quant", "sw",
-                                    lambda: jnp.ones((self.out_ch,),
-                                                     jnp.float32))
-                if recording:
-                    var.value = jnp.maximum(
-                        var.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
-                    vwq.value, vsw.value = _quant_weights(kernel, s)
-                elif qmode == "int8_static":
-                    amax = var.value
-                wq, sw = vwq.value, vsw.value
-            else:
-                wq, sw = _quant_weights(kernel, s)
-            x = _quant_conv(x, wq, sw, b, self.stride, pad, self.dtype,
-                            amax=amax)
+            wq, sw, amax = _quant_state(self, qmode, x, kernel * s)
+            x = _quant_conv(x, wq, sw, b, (self.stride, self.stride),
+                            [(pad, pad), (pad, pad)], self.dtype, amax=amax)
             return ACTIVATIONS[self.act](x)
         if self.s2d == "none":
             x = nn.Conv(
@@ -536,18 +560,39 @@ class _WPackConvBN(nn.Module):
     dtype: Any = jnp.float32
     bn_axis: Any = None
     concat_ca: int = 0
+    # int8 serving quantization (eval only; "none" | "int8" |
+    # "int8_static", see ConvBNAct). BN folds into the ORIGINAL kernel
+    # before rearrangement, so per-packed-channel weight scales equal the
+    # original per-channel scales tiled, the integer accumulation is
+    # exact over the extra zero blocks, and packed int8 outputs are
+    # BIT-IDENTICAL to unpacked int8 (pinned by tests/test_quant.py).
+    # Measured (tools/exp_int8.py): packed 1x1 int8 chains run 0.24x
+    # bf16 at the stage1 shape, packed 3x3 0.46x.
+    quant: Any = "none"
+
+    def _rearrange(self, w: jnp.ndarray) -> jnp.ndarray:
+        if self.concat_ca:
+            return _wpack_concat2_1x1_kernel(w, self.concat_ca)
+        if self.ksize == 1:
+            return _wpack_1x1_kernel(w)
+        return _wpack_3x3_kernel(w)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        pad = (self.ksize - 1) // 2
+        qmode = {False: "none", True: "int8"}.get(self.quant, self.quant)
+        if qmode != "none" and not train:
+            kernel = _ConvKernel((self.ksize, self.ksize, self.cin,
+                                  self.cout), name="conv")()
+            s, b = _BNFold(self.cout, name="norm")()  # _TiledBN path twin
+            wp = self._rearrange(kernel * s)          # fold, THEN pack
+            wq, sw, amax = _quant_state(self, qmode, x, wp)
+            x = _quant_conv(x, wq, sw, jnp.tile(b, 2), (1, 1),
+                            [(pad, pad), (pad, pad)], self.dtype, amax=amax)
+            return ACTIVATIONS[self.act](x)
         kernel = _ConvKernel((self.ksize, self.ksize, self.cin, self.cout),
                              name="conv")()
-        if self.concat_ca:
-            w = _wpack_concat2_1x1_kernel(kernel, self.concat_ca)
-        elif self.ksize == 1:
-            w = _wpack_1x1_kernel(kernel)
-        else:
-            w = _wpack_3x3_kernel(kernel)
-        pad = (self.ksize - 1) // 2
+        w = self._rearrange(kernel)
         x = jax.lax.conv_general_dilated(
             x.astype(self.dtype), w.astype(self.dtype), (1, 1),
             [(pad, pad), (pad, pad)],
@@ -568,15 +613,18 @@ class _WPackResBlock(nn.Module):
     act: str = "mish"
     dtype: Any = jnp.float32
     bn_axis: Any = None
+    quant: Any = "none"  # see _WPackConvBN
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         for i in range(self.num_blocks):
             h = _WPackConvBN(self.ch, self.ch, 1, act=self.act,
                              dtype=self.dtype, bn_axis=self.bn_axis,
+                             quant=self.quant,
                              name=f"module_list_{i}_0")(x, train)
             h = _WPackConvBN(self.ch, self.ch, 3, act=self.act,
                              dtype=self.dtype, bn_axis=self.bn_axis,
+                             quant=self.quant,
                              name=f"module_list_{i}_1")(h, train)
             x = x + h if self.shortcut else h
         return x
@@ -686,36 +734,44 @@ class CSPDownSample0(nn.Module):
     # Mathematically equivalent, checkpoint-compatible. Measured 0.478x
     # the plain stage mix at 608/b16 (tools/exp_wpack.py).
     wpack: bool = False
+    # int8 serving quantization of the stage's convs (eval only; "none" |
+    # "int8" | "int8_static" — see ConvBNAct/_WPackConvBN). Reaches this
+    # stage only with MODEL.QUANT_SPAN "full".
+    quant: Any = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         c, k, s, a, d = self.out_ch, self.kernel_size, self.stride, self.act, self.dtype
         bx = self.bn_axis
+        q = self.quant
         if self.wpack:
             assert self.s2d_base in ("stride2_pre_wpack", "stride2_wpack")
             x = ConvBNAct(c, k, s, act=a, dtype=d, name="base", bn_axis=bx,
                           s2d=self.s2d_base)(x, train)  # -> packed
-            x1 = _WPackConvBN(c, c, 1, act=a, dtype=d, bn_axis=bx,
+            x1 = _WPackConvBN(c, c, 1, act=a, dtype=d, bn_axis=bx, quant=q,
                               name="part1")(x, train)
-            x2a = _WPackConvBN(c, c, 1, act=a, dtype=d, bn_axis=bx,
+            x2a = _WPackConvBN(c, c, 1, act=a, dtype=d, bn_axis=bx, quant=q,
                                name="part2_1_1")(x, train)
             h = _WPackConvBN(c, c // 2, 1, act=a, dtype=d, bn_axis=bx,
-                             name="part2_1_2_0")(x2a, train)
+                             quant=q, name="part2_1_2_0")(x2a, train)
             h = _WPackConvBN(c // 2, c, 3, act=a, dtype=d, bn_axis=bx,
-                             name="part2_1_2_1")(h, train)
+                             quant=q, name="part2_1_2_1")(h, train)
             x2 = x2a + h
-            x2 = _WPackConvBN(c, c, 1, act=a, dtype=d, bn_axis=bx,
+            x2 = _WPackConvBN(c, c, 1, act=a, dtype=d, bn_axis=bx, quant=q,
                               name="part2_2")(x2, train)
             cat = jnp.concatenate([x2, x1], axis=-1)
             return _WPackConvBN(2 * c, c, 1, act=a, dtype=d, bn_axis=bx,
-                                concat_ca=c, name="transition")(cat, train)
+                                quant=q, concat_ca=c,
+                                name="transition")(cat, train)
 
         x = ConvBNAct(c, k, s, act=a, dtype=d, name="base", bn_axis=bx,
-                      s2d=self.s2d_base)(x, train)
+                      s2d=self.s2d_base, quant=q)(x, train)
 
         from yolov4_tpu.ops.csp_pallas import (fused_csp_stage,
                                                fused_csp_supported)
+        quant_on = {False: "none", True: "int8"}.get(q, q) != "none"
         if (self.fused and not train and self.act == "mish"
+                and not quant_on
                 and fused_csp_supported(x.shape, 0, dtype=x.dtype)):
             folded = {
                 "part1": FoldedConvBN(c, c, 1, name="part1")(),
@@ -731,16 +787,22 @@ class CSPDownSample0(nn.Module):
                 x, folded, num_blocks=0,
                 interpret=jax.default_backend() != "tpu")
 
-        x1 = ConvBNAct(c, 1, 1, act=a, dtype=d, bn_axis=bx, name="part1")(x, train)
+        x1 = ConvBNAct(c, 1, 1, act=a, dtype=d, bn_axis=bx, quant=q,
+                       name="part1")(x, train)
 
-        x2_1_1 = ConvBNAct(c, 1, 1, act=a, dtype=d, bn_axis=bx, name="part2_1_1")(x, train)
-        x2_1_2 = ConvBNAct(c // 2, 1, 1, act=a, dtype=d, bn_axis=bx, name="part2_1_2_0")(x2_1_1, train)
-        x2_1_2 = ConvBNAct(c, 3, 1, act=a, dtype=d, bn_axis=bx, name="part2_1_2_1")(x2_1_2, train)
+        x2_1_1 = ConvBNAct(c, 1, 1, act=a, dtype=d, bn_axis=bx, quant=q,
+                           name="part2_1_1")(x, train)
+        x2_1_2 = ConvBNAct(c // 2, 1, 1, act=a, dtype=d, bn_axis=bx, quant=q,
+                           name="part2_1_2_0")(x2_1_1, train)
+        x2_1_2 = ConvBNAct(c, 3, 1, act=a, dtype=d, bn_axis=bx, quant=q,
+                           name="part2_1_2_1")(x2_1_2, train)
         x2 = x2_1_1 + x2_1_2
-        x2 = ConvBNAct(c, 1, 1, act=a, dtype=d, bn_axis=bx, name="part2_2")(x2, train)
+        x2 = ConvBNAct(c, 1, 1, act=a, dtype=d, bn_axis=bx, quant=q,
+                       name="part2_2")(x2, train)
 
         x = jnp.concatenate([x2, x1], axis=-1)
-        return ConvBNAct(c, 1, 1, act=a, dtype=d, bn_axis=bx, name="transition")(x, train)
+        return ConvBNAct(c, 1, 1, act=a, dtype=d, bn_axis=bx, quant=q,
+                         name="transition")(x, train)
 
 
 class CSPDownSample(nn.Module):
@@ -773,19 +835,20 @@ class CSPDownSample(nn.Module):
         if self.wpack:
             assert self.s2d_base == "stride2_w2w", self.s2d_base
             c2 = c // 2
+            q = self.quant
             x = ConvBNAct(c, self.kernel_size, self.stride, act=a, dtype=d,
                           name="base", bn_axis=bx, s2d=self.s2d_base)(x, train)
-            x1 = _WPackConvBN(c, c2, 1, act=a, dtype=d, bn_axis=bx,
+            x1 = _WPackConvBN(c, c2, 1, act=a, dtype=d, bn_axis=bx, quant=q,
                               name="part1")(x, train)
-            x2 = _WPackConvBN(c, c2, 1, act=a, dtype=d, bn_axis=bx,
+            x2 = _WPackConvBN(c, c2, 1, act=a, dtype=d, bn_axis=bx, quant=q,
                               name="part2_0")(x, train)
             x2 = _WPackResBlock(c2, num_blocks=self.num_blocks,
                                 shortcut=self.shortcut, act=a, dtype=d,
-                                bn_axis=bx, name="part2_1")(x2, train)
-            x2 = _WPackConvBN(c2, c2, 1, act=a, dtype=d, bn_axis=bx,
+                                bn_axis=bx, quant=q, name="part2_1")(x2, train)
+            x2 = _WPackConvBN(c2, c2, 1, act=a, dtype=d, bn_axis=bx, quant=q,
                               name="part2_2")(x2, train)
             cat = jnp.concatenate([x2, x1], axis=-1)
-            return _WPackConvBN(c, c, 1, act=a, dtype=d, bn_axis=bx,
+            return _WPackConvBN(c, c, 1, act=a, dtype=d, bn_axis=bx, quant=q,
                                 concat_ca=c2, name="transition")(cat, train)
 
         x = ConvBNAct(c, self.kernel_size, self.stride, act=a, dtype=d, name="base",

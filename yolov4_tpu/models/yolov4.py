@@ -54,7 +54,12 @@ class YOLOv4(nn.Module):
     # the MXU with BN folded and dynamic per-tensor activation scales
     # (layers._quant_conv; measured 0.50-0.64x bf16 per conv on v5e).
     # NOT reference-exact — opt-in serving mode; train path unchanged.
+    # quant_span "late" quantizes backbone stages 3-5 + neck + head
+    # hidden convs; "full" extends into the stage1/stage2 interiors
+    # (incl. their lane-packed forms — packed int8 is bit-identical to
+    # unpacked int8; see darknet.Backbone.quant_span).
     quant: str = "none"
+    quant_span: str = "late"
     # width/depth multipliers (1.0 = the reference architecture exactly;
     # see darknet.scale_channels/scale_blocks). Smaller values build
     # topology-identical reduced variants, e.g. for smoke-scale sharding
@@ -76,6 +81,7 @@ class YOLOv4(nn.Module):
         x3, x4, x5 = Backbone(return_pyramid=True, dtype=self.dtype,
                               s2d=self.s2d, pallas_csp=self.pallas_csp,
                               wpack=self.wpack, quant=quant,
+                              quant_span=self.quant_span,
                               width=self.width, depth=self.depth,
                               name="backbone")(x, train,
                                                input_s2d=input_s2d)
@@ -109,6 +115,7 @@ def build_model(cfg: Dict) -> YOLOv4:
         wpack=model_cfg.get("WPACK", False),
         split_head=model_cfg.get("SPLIT_HEAD", False),
         quant=model_cfg.get("QUANT", "none"),
+        quant_span=model_cfg.get("QUANT_SPAN", "late"),
         width=float(model_cfg.get("WIDTH", 1.0)),
         depth=float(model_cfg.get("DEPTH", 1.0)),
     )
