@@ -37,21 +37,27 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
-def build_compiled(img_size, batch, quant, with_nms):
+def build_compiled(img_size, batch, quant, with_nms, span=None):
     from yolov4_tpu.config import load_config
     from yolov4_tpu.models import build_model
     from yolov4_tpu.models.yolov4 import init_variables
     from yolov4_tpu.ops.postprocess import postprocess
 
     cfg = load_config()
-    if quant:
-        cfg["MODEL"]["QUANT"] = "int8"
+    if quant and quant != "none":
+        cfg["MODEL"]["QUANT"] = "int8" if quant is True else quant
+    if span:
+        cfg["MODEL"]["QUANT_SPAN"] = span
     model = build_model(cfg)
     variables = jax.device_put(
         init_variables(model, jax.random.PRNGKey(0), img_size))
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.random((batch, img_size, img_size, 3)),
                        jnp.float32)
+    if cfg["MODEL"].get("QUANT") == "int8_static":
+        from yolov4_tpu.models.yolov4 import calibrate_variables
+        variables = jax.device_put(
+            calibrate_variables(model, variables, imgs))
 
     def f(v, x):
         preds = model.apply(v, x, train=False)
@@ -82,8 +88,15 @@ def main():
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--group-depth", type=int, default=3,
                    help="scope path depth for the aggregate table")
+    p.add_argument("--quant", choices=["none", "int8", "int8_static"],
+                   default=None, help="MODEL.QUANT for the rebuilt program")
+    p.add_argument("--span", choices=["late", "full"], default=None,
+                   help="MODEL.QUANT_SPAN override")
     args = p.parse_args()
-    quant = os.environ.get("YOLOV4_PROFILE_QUANT") == "1"
+    quant = args.quant
+    if quant is None:
+        quant = ("int8" if os.environ.get("YOLOV4_PROFILE_QUANT") == "1"
+                 else "none")
 
     # check for a trace BEFORE the (multi-minute) model compile
     paths = glob.glob(os.path.join(args.trace_dir, "**", "*.trace.json.gz"),
@@ -94,7 +107,7 @@ def main():
     path = max(paths, key=os.path.getmtime)
 
     compiled = build_compiled(args.img_size, args.batch, quant,
-                              args.with_nms)
+                              args.with_nms, span=args.span)
     scopes = op_scopes(compiled.as_text())
     print(f"{len(scopes)} HLO ops carry scope metadata")
     with gzip.open(path, "rt") as fh:

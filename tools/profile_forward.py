@@ -34,7 +34,8 @@ from yolov4_tpu.ops.postprocess import postprocess  # noqa: E402
 
 
 def capture(trace_dir: str, img_size: int, batch: int, with_nms: bool,
-            target: str, pallas_csp: bool = False):
+            target: str, pallas_csp: bool = False, quant: str = "none",
+            span: str | None = None):
     rng = np.random.default_rng(0)
     if target == "aug":
         from yolov4_tpu.data.device_aug import augment_batch_impl
@@ -88,12 +89,20 @@ def capture(trace_dir: str, img_size: int, batch: int, with_nms: bool,
         if pallas_csp:
             cfg["MODEL"]["PALLAS_CSP"] = True
         if os.environ.get("YOLOV4_PROFILE_QUANT") == "1":
-            cfg["MODEL"]["QUANT"] = "int8"
+            quant = "int8"
+        if quant != "none":
+            cfg["MODEL"]["QUANT"] = quant
+        if span:
+            cfg["MODEL"]["QUANT_SPAN"] = span
         model = build_model(cfg)
         variables = jax.device_put(
             init_variables(model, jax.random.PRNGKey(0), img_size))
         imgs = jnp.asarray(rng.random((batch, img_size, img_size, 3)),
                            jnp.float32)
+        if quant == "int8_static":
+            from yolov4_tpu.models.yolov4 import calibrate_variables
+            variables = jax.device_put(
+                calibrate_variables(model, variables, imgs))
 
         # variables as a jit ARG (closures bake weights into the cached
         # executable: ~550 MB per persistent-cache entry, measured r2)
@@ -168,11 +177,18 @@ def main():
     p.add_argument("--trace-dir", type=str, default="/tmp/yolov4_trace")
     p.add_argument("--pallas-csp", action="store_true",
                    help="profile the MODEL.PALLAS_CSP fused-stage forward")
+    p.add_argument("--quant", choices=["none", "int8", "int8_static"],
+                   default="none", help="MODEL.QUANT for the eval forward")
+    p.add_argument("--span", choices=["late", "full"], default=None,
+                   help="MODEL.QUANT_SPAN override")
     args = p.parse_args()
     if args.pallas_csp and args.target != "fwd":
         p.error("--pallas-csp only applies to --target fwd")
+    if (args.quant != "none" or args.span) and args.target != "fwd":
+        p.error("--quant/--span only apply to --target fwd")
     capture(args.trace_dir, args.img_size, args.batch, args.with_nms,
-            args.target, pallas_csp=args.pallas_csp)
+            args.target, pallas_csp=args.pallas_csp, quant=args.quant,
+            span=args.span)
     summarize(args.trace_dir, args.top)
 
 
