@@ -371,3 +371,174 @@ def test_full_model_runs_finite():
     out = np.asarray(model.apply(v, x, train=False), np.float32)
     assert out.shape[0] == 2 and out.shape[-1] == 85
     assert np.isfinite(out).all()
+
+
+# ---------------------------------------------------------------------------
+# Direct-u8 int8 stem (QUANT_SPAN "full"): the stem consumes uint8 wire
+# bytes as SHIFTED s8 activations — conv(x_u8/255, wq*sw) ==
+# (sw/255)*(conv(x_u8-128, wq) + 128*sum(wq)) exactly, with the conv's
+# zero padding represented as -128 in the shifted domain. Activation
+# quantization is therefore EXACT (uint8 pixels are 8-bit values); only
+# the weights are quantized, like every other int8 layer.
+# ---------------------------------------------------------------------------
+
+
+def _stem_pair(dtype=jnp.float32):
+    from yolov4_tpu.models.layers import space_to_depth
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (2, 32, 32, 3)).astype(np.uint8)
+    x_s2d = jnp.asarray(space_to_depth(jnp.asarray(img)))
+    quant = ConvBNAct(32, 3, 1, act="mish", dtype=dtype,
+                      s2d="stride1_keep", quant="int8")
+    plain = ConvBNAct(32, 3, 1, act="mish", dtype=dtype,
+                      s2d="stride1_keep", quant="none")
+    v = _realistic_bn(plain.init(
+        {"params": jax.random.PRNGKey(3)}, jnp.zeros_like(x_s2d, jnp.float32),
+        train=False, input_s2d=True))
+    return img, x_s2d, quant, plain, v
+
+
+def test_u8_stem_exact_integer_identity():
+    """The u8 stem equals the f32 conv with the SAME quantized kernel:
+    activation quantization contributes NO error (the only difference vs
+    an f32 reference with quantized weights is f32 rounding)."""
+    from yolov4_tpu.models.layers import (_BNFold, _ConvKernel,
+                                          _quant_weights_folded,
+                                          _s2d_stride1_kernel)
+
+    img, x_s2d, quant, plain, v = _stem_pair()
+    y_u8 = np.asarray(quant.apply(v, x_s2d, train=False, input_s2d=True),
+                      np.float32)
+
+    # reference: f32 conv on the normalized image with the folded,
+    # quantized-then-dequantized kernel
+    kernel = np.asarray(v["params"]["conv"]["kernel"], np.float32)
+    scale = np.asarray(v["params"]["norm"]["scale"], np.float32)
+    bias = np.asarray(v["params"]["norm"]["bias"], np.float32)
+    mean = np.asarray(v["batch_stats"]["norm"]["mean"], np.float32)
+    var = np.asarray(v["batch_stats"]["norm"]["var"], np.float32)
+    s = scale / np.sqrt(var + 1e-5)
+    b = bias - mean * s
+    wf = _s2d_stride1_kernel(jnp.asarray(kernel * s))
+    wq, sw = _quant_weights_folded(wf)
+    wdq = jnp.asarray(wq, jnp.float32) * sw
+    xf = jnp.asarray(np.asarray(x_s2d, np.float32) / 255.0)
+    y = jax.lax.conv_general_dilated(
+        xf, wdq, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    ref = np.asarray(y + np.tile(b, 4), np.float32)
+    ref = ref * np.tanh(np.log1p(np.exp(ref)))  # mish
+    np.testing.assert_allclose(y_u8, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_u8_stem_error_bounded_vs_plain():
+    """Weight quantization is the only approximation: the u8 stem tracks
+    the unquantized bf16 stem within the usual int8 layer bound."""
+    img, x_s2d, quant, plain, v = _stem_pair(jnp.bfloat16)
+    y_q = np.asarray(quant.apply(v, x_s2d, train=False, input_s2d=True),
+                     np.float32)
+    xf = jnp.asarray(np.asarray(x_s2d, np.float32) / 255.0)
+    y_p = np.asarray(plain.apply(v, xf, train=False, input_s2d=True),
+                     np.float32)
+    rel = np.abs(y_q - y_p).max() / max(np.abs(y_p).max(), 1e-6)
+    assert rel < 0.05, rel
+    assert np.corrcoef(y_q.ravel(), y_p.ravel())[0, 1] > 0.999
+
+
+def test_u8_stem_static_matches_dynamic():
+    """Calibrated (int8_static) stem == dynamic int8 stem bit-for-bit
+    (the stored wq/sw equal the on-the-fly ones; no activation scale is
+    involved at all — u8 input is exact)."""
+    img, x_s2d, quant, plain, v = _stem_pair()
+    sta = ConvBNAct(32, 3, 1, act="mish", dtype=jnp.float32,
+                    s2d="stride1_keep", quant="int8_static")
+    y_dyn = np.asarray(quant.apply(v, x_s2d, train=False, input_s2d=True))
+    _, upd = quant.apply(v, x_s2d, train=False, input_s2d=True,
+                         mutable=["quant"])
+    y_sta = np.asarray(sta.apply({**v, **upd}, x_s2d, train=False,
+                                 input_s2d=True))
+    assert np.array_equal(y_dyn, y_sta)
+
+
+def test_u8_stem_wire_layouts_bit_identical():
+    """NHWC uint8 input (planar wire) and s2d-wire uint8 input lower to
+    the same integer program: outputs are bit-identical."""
+    from yolov4_tpu.models.layers import space_to_depth
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    cfg = _span_cfg(False, "int8", "full")
+    cfg["MODEL"].update(WIDTH=0.25, DEPTH=0.25, QUANT_STEM=True)
+    m = build_model(cfg)
+    v = init_variables(m, jax.random.PRNGKey(0), 64)
+    x_s2d = jnp.asarray(space_to_depth(jnp.asarray(img)))
+    out_s2d = np.asarray(
+        m.apply(v, x_s2d, train=False, input_s2d=True), np.float32)
+    out_nhwc = np.asarray(
+        m.apply(v, jnp.asarray(img), train=False), np.float32)
+    assert np.array_equal(out_s2d, out_nhwc)
+
+
+def test_u8_model_agrees_with_f32_input():
+    """Full int8/full-span model on uint8 input (quantized stem) agrees
+    with the same model on the normalized f32 input (bf16 stem): the only
+    difference is the stem's weight quantization."""
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    cfg = _span_cfg(False, "int8", "full")
+    cfg["MODEL"].update(WIDTH=0.25, DEPTH=0.25, QUANT_STEM=True)
+    m = build_model(cfg)
+    v = init_variables(m, jax.random.PRNGKey(0), 64)
+    v = _realistic_bn(v)
+    out_u8 = np.asarray(m.apply(v, jnp.asarray(img), train=False),
+                        np.float32)
+    out_f32 = np.asarray(
+        m.apply(v, jnp.asarray(img.astype(np.float32) / 255.0),
+                train=False), np.float32)
+    assert np.isfinite(out_u8).all()
+    assert np.corrcoef(out_u8.ravel(), out_f32.ravel())[0, 1] > 0.99
+
+
+def test_u8_input_on_nonquant_model_normalizes():
+    """uint8 input through a NON-quantized model must behave exactly as a
+    pre-normalized f32 input (the backbone normalizes at entry) — guards
+    the fallback that keeps u8 wire packing always safe."""
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    cfg = load_config()
+    cfg["MODEL"].update(WIDTH=0.25, DEPTH=0.25)
+    m = build_model(cfg)
+    v = init_variables(m, jax.random.PRNGKey(0), 64)
+    out_u8 = np.asarray(m.apply(v, jnp.asarray(img), train=False),
+                        np.float32)
+    out_f32 = np.asarray(
+        m.apply(v, jnp.asarray(img.astype(np.float32) / 255.0),
+                train=False), np.float32)
+    assert np.array_equal(out_u8, out_f32)
+
+
+def test_quant_chain_bit_identical():
+    """int8_static link chaining (MODEL.QUANT_CHAIN) == the unchained
+    program bit-for-bit, packed and unpacked: the links only move WHERE
+    the quantize happens (producer epilogue vs consumer input) — same
+    tensor, same calibrated scale, same arithmetic. The chained program
+    must also carry MORE quant variables (the link scales)."""
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+
+    def run(chain, wpack):
+        cfg = _span_cfg(wpack, "int8_static", "full")
+        cfg["MODEL"].update(WIDTH=0.25, DEPTH=0.25, QUANT_CHAIN=chain)
+        m = build_model(cfg)
+        v = init_variables(m, jax.random.PRNGKey(0), 64)
+        v = _realistic_bn({k: t for k, t in v.items() if k != "quant"})
+        _, upd = m.apply(v, img, train=False, mutable=["quant"])
+        out = m.apply({**v, **upd}, img, train=False)
+        return np.asarray(out, np.float32), upd
+
+    for wpack in (False, "stage12"):
+        a, qa = run(True, wpack)
+        b, qb = run(False, wpack)
+        assert np.array_equal(a, b), (wpack, np.max(np.abs(a - b)))
+        assert len(jax.tree.leaves(qa)) > len(jax.tree.leaves(qb))

@@ -37,11 +37,30 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
-def build_compiled(img_size, batch, quant, with_nms, span=None):
+def build_compiled(img_size, batch, quant, with_nms, span=None,
+                   target="fwd"):
     from yolov4_tpu.config import load_config
     from yolov4_tpu.models import build_model
     from yolov4_tpu.models.yolov4 import init_variables
     from yolov4_tpu.ops.postprocess import postprocess
+
+    if target == "serve":
+        from yolov4_tpu.engine.predictor import Predictor, pack_wire
+
+        cfg = load_config()
+        if quant and quant != "none":
+            cfg["MODEL"]["QUANT"] = "int8" if quant is True else quant
+        if span:
+            cfg["MODEL"]["QUANT_SPAN"] = span
+        pred = Predictor(cfg, img_size=img_size, batch_size=batch)
+        rng = np.random.default_rng(0)
+        imgs_u8 = rng.integers(0, 256, (batch, img_size, img_size, 3)
+                               ).astype(np.uint8)
+        if cfg["MODEL"].get("QUANT") == "int8_static":
+            pred.calibrate(imgs_u8)
+        flat = jax.device_put(pack_wire(imgs_u8, batch, pred._s2d_wire))
+        return pred._run.lower(pred.variables, flat, pred.conf_thre,
+                               pred.nms_thre).compile()
 
     cfg = load_config()
     if quant and quant != "none":
@@ -92,6 +111,8 @@ def main():
                    default=None, help="MODEL.QUANT for the rebuilt program")
     p.add_argument("--span", choices=["late", "full"], default=None,
                    help="MODEL.QUANT_SPAN override")
+    p.add_argument("--target", choices=["fwd", "serve"], default="fwd",
+                   help="serve rebuilds the Predictor wire program")
     args = p.parse_args()
     quant = args.quant
     if quant is None:
@@ -107,7 +128,8 @@ def main():
     path = max(paths, key=os.path.getmtime)
 
     compiled = build_compiled(args.img_size, args.batch, quant,
-                              args.with_nms, span=args.span)
+                              args.with_nms, span=args.span,
+                              target=args.target)
     scopes = op_scopes(compiled.as_text())
     print(f"{len(scopes)} HLO ops carry scope metadata")
     with gzip.open(path, "rt") as fh:

@@ -130,6 +130,32 @@ def main():
                 " approx-topk" if args.approx_topk else "")
             results[nm] = timed(full, (variables, imgs), args.iters)
 
+    if "serve" in parts:
+        # the DEPLOYMENT program: Predictor._run — uint8 s2d-wire input,
+        # on-device normalize, forward, decode, class-wise NMS. This is
+        # the program detect/val/export actually run; the fwd/fwd_nms
+        # parts above feed float NHWC and pay an input relayout the wire
+        # program structurally skips (PERF.md: s2d wire format).
+        from yolov4_tpu.engine.predictor import Predictor, pack_wire
+
+        scfg = load_config()
+        if args.quant != "none":
+            scfg["MODEL"]["QUANT"] = args.quant
+        if args.approx_topk:
+            scfg["TEST"]["APPROX_TOPK"] = True
+        scfg["TEST"].update(CONFTHRE=args.conf_thre, NMSTHRE=args.nms_thre)
+        pred = Predictor(scfg, img_size=size, batch_size=b)
+        imgs_u8 = rng.integers(0, 256, (b, size, size, 3)).astype(np.uint8)
+        if args.quant == "int8_static":
+            pred.calibrate(imgs_u8)
+        flat = jax.device_put(
+            pack_wire(imgs_u8, b, pred._s2d_wire))
+        nm = f"serve wire fwd+decode+NMS{tag}" + (
+            " approx-topk" if args.approx_topk else "")
+        results[nm] = timed(
+            lambda v, x: pred._run(v, x, pred.conf_thre, pred.nms_thre),
+            (pred.variables, flat), args.iters)
+
     if "fwd_plain" in parts:
         import yolov4_tpu.models.yolov4 as y4
         from yolov4_tpu.models.darknet import Backbone  # noqa: F401

@@ -84,6 +84,28 @@ def capture(trace_dir: str, img_size: int, batch: int, with_nms: bool,
 
         f = _Step(state)
         args = ()
+    elif target == "serve":
+        # the DEPLOYMENT program: Predictor._run (uint8 s2d wire ->
+        # normalize -> forward -> decode -> class-wise NMS)
+        from yolov4_tpu.engine.predictor import Predictor, pack_wire
+
+        cfg = load_config()
+        if quant != "none":
+            cfg["MODEL"]["QUANT"] = quant
+        if span:
+            cfg["MODEL"]["QUANT_SPAN"] = span
+        pred = Predictor(cfg, img_size=img_size, batch_size=batch)
+        imgs_u8 = rng.integers(0, 256, (batch, img_size, img_size, 3)
+                               ).astype(np.uint8)
+        if quant == "int8_static":
+            pred.calibrate(imgs_u8)
+        flat = jax.device_put(pack_wire(imgs_u8, batch, pred._s2d_wire))
+
+        def f(*_):
+            return pred._run(pred.variables, flat, pred.conf_thre,
+                             pred.nms_thre)
+
+        args = ()
     else:
         cfg = load_config()
         if pallas_csp:
@@ -173,7 +195,7 @@ def main():
     p.add_argument("--top", type=int, default=25)
     p.add_argument("--with-nms", action="store_true")
     p.add_argument("--target", type=str, default="fwd",
-                   choices=["fwd", "aug", "train"])
+                   choices=["fwd", "aug", "train", "serve"])
     p.add_argument("--trace-dir", type=str, default="/tmp/yolov4_trace")
     p.add_argument("--pallas-csp", action="store_true",
                    help="profile the MODEL.PALLAS_CSP fused-stage forward")
@@ -184,8 +206,9 @@ def main():
     args = p.parse_args()
     if args.pallas_csp and args.target != "fwd":
         p.error("--pallas-csp only applies to --target fwd")
-    if (args.quant != "none" or args.span) and args.target != "fwd":
-        p.error("--quant/--span only apply to --target fwd")
+    if (args.quant != "none" or args.span) and args.target not in (
+            "fwd", "serve"):
+        p.error("--quant/--span only apply to --target fwd/serve")
     capture(args.trace_dir, args.img_size, args.batch, args.with_nms,
             args.target, pallas_csp=args.pallas_csp, quant=args.quant,
             span=args.span)

@@ -80,6 +80,19 @@ DEFAULTS: Dict[str, Dict[str, Any]] = {
         # forms — packed int8 is bit-identical to unpacked int8; the
         # packed 1x1/3x3 int8 chains measured 0.24x/0.46x bf16 on chip).
         "QUANT_SPAN": "full",
+        # int8_static link chaining (layers._link_quant): quantized conv
+        # inputs assembled by their parent module (resblock interiors,
+        # CSP splits/adds/concats) are quantized at the PRODUCER with the
+        # calibrated link scale — bit-identical outputs, but the bf16
+        # intermediates and separate quantize passes never exist. False
+        # only for A/B measurement.
+        "QUANT_CHAIN": True,
+        # direct-u8 int8 stem: EXACT shifted-s8 activation math that
+        # deletes the u8->f32 normalize pass — measured ~perf-neutral on
+        # v5e (the integer stem costs back what the normalize saved) and
+        # -1.5 AP on the overfit smoke from stem WEIGHT quantization, so
+        # default OFF (docs/PERF.md).
+        "QUANT_STEM": False,
     },
     "CRITERION": {
         "TYPE": "YOLOLoss",

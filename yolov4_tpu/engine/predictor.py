@@ -126,6 +126,20 @@ class Predictor:
             and cfg["TEST"].get("S2D_WIRE", True)
             and size % 2 == 0)
         s2d_wire = self._s2d_wire
+        # direct-u8 stem (opt-in MODEL.QUANT_STEM; measured negative on
+        # v5e, docs/PERF.md): the stem consumes the uint8 wire bytes as
+        # shifted s8 — exact activation math, and the u8->f32 normalize
+        # pass vanishes from the program. The backbone normalizes itself
+        # if any guard there disagrees (layers.ConvBNAct /
+        # darknet.Backbone uint8 fallbacks), so keeping bytes u8 here is
+        # always safe.
+        u8_stem = (
+            cfg["MODEL"].get("QUANT", "none") in ("int8", "int8_static",
+                                                  True)
+            and cfg["MODEL"].get("QUANT_STEM", False)
+            and cfg["MODEL"].get("QUANT_SPAN", "late") == "full"
+            and cfg["MODEL"].get("S2D_STEM", True) in (True, "fused")
+            and size % 2 == 0)
 
         def _wire_to_images(flat_images):
             # ONE input lowering shared by the serving and calibration
@@ -143,7 +157,7 @@ class Predictor:
             else:
                 images = flat_images.reshape(-1, 3, size, size)
                 images = jnp.transpose(images, (0, 2, 3, 1))  # -> NHWC
-            if images.dtype == jnp.uint8:
+            if images.dtype == jnp.uint8 and not u8_stem:
                 images = images.astype(jnp.float32) / 255.0
             return images
 

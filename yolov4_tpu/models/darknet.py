@@ -87,6 +87,18 @@ class Backbone(nn.Module):
     # lowering already pays, and they are one conv per stage.
     quant: Any = "none"
     quant_span: str = "late"
+    # int8_static link chaining (layers._link_quant): bit-identical to the
+    # unchained program; MODEL.QUANT_CHAIN=false disables (A/B knob)
+    quant_chain: bool = True
+    # direct-u8 int8 stem (MODEL.QUANT_STEM, default OFF — measured
+    # negative): consuming the uint8 wire as shifted s8 deletes the
+    # normalize pass (~1.7 ms/batch at 608/b16) but the integer stem plus
+    # its shift/pad passes cost it back (stem scope 1.38 -> 1.79 ms/iter
+    # in the serve trace; net ~neutral), while stem WEIGHT quantization
+    # cost -1.5 AP on the overfit smoke (raw-pixel first convs are
+    # quantization-sensitive). Kept as an opt-in with exact-activation
+    # math for hardware where the trade differs.
+    quant_stem: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -133,25 +145,37 @@ class Backbone(nn.Module):
         base3_s2d = "stride2_from_wpack" if wpack2 else "none"
         w = lambda ch: scale_channels(ch, self.width)
         nb = lambda n: scale_blocks(n, self.depth)
-        x = ConvBNAct(w(32), 3, 1, act="mish", dtype=d, name="stem", bn_axis=bx,
-                      s2d=stem_s2d)(x, train, input_s2d=input_s2d)
-
         q12 = self.quant if self.quant_span == "full" else "none"
+        # MODEL.QUANT_STEM additionally quantizes the stem — only for
+        # uint8 inputs, where the direct-u8 lowering (layers.ConvBNAct)
+        # makes activation quantization EXACT and deletes the u8->f32
+        # normalize pass. A float input keeps the bf16 stem.
+        stem_q = (q12 if self.quant_stem and stem_s2d == "stride1_keep"
+                  else "none")
+        if x.dtype == jnp.uint8 and (train or stem_q == "none"):
+            x = x.astype(jnp.float32) / 255.0
+        x = ConvBNAct(w(32), 3, 1, act="mish", dtype=d, name="stem", bn_axis=bx,
+                      s2d=stem_s2d, quant=stem_q)(x, train,
+                                                  input_s2d=input_s2d)
+        qc = self.quant_chain
         x = CSPDownSample0(w(64), 3, 2, act="mish", dtype=d, name="stage1",
                            bn_axis=bx, s2d_base=base1_s2d,
                            fused=fused and not wpack,
-                           wpack=wpack, quant=q12)(x, train)
+                           wpack=wpack, quant=q12, quant_chain=qc)(x, train)
         x = CSPDownSample(w(128), 3, 2, num_blocks=nb(2), act="mish", dtype=d,
                           name="stage2", bn_axis=bx, s2d_base=base2_s2d,
                           fused=fused and not wpack2,
-                          wpack=wpack2, quant=q12)(x, train)
+                          wpack=wpack2, quant=q12, quant_chain=qc)(x, train)
         x3 = CSPDownSample(w(256), 3, 2, num_blocks=nb(8), act="mish", dtype=d,
                            bn_axis=bx, name="stage3", s2d_base=base3_s2d,
-                           fused=fused, quant=self.quant)(x, train)
+                           fused=fused, quant=self.quant,
+                           quant_chain=qc)(x, train)
         x4 = CSPDownSample(w(512), 3, 2, num_blocks=nb(8), act="mish", dtype=d,
-                           bn_axis=bx, quant=self.quant, name="stage4")(x3, train)
+                           bn_axis=bx, quant=self.quant, quant_chain=qc,
+                           name="stage4")(x3, train)
         x5 = CSPDownSample(w(1024), 3, 2, num_blocks=nb(4), act="mish", dtype=d,
-                           bn_axis=bx, quant=self.quant, name="stage5")(x4, train)
+                           bn_axis=bx, quant=self.quant, quant_chain=qc,
+                           name="stage5")(x4, train)
 
         if self.return_pyramid:
             return x3, x4, x5

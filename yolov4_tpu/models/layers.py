@@ -361,16 +361,95 @@ def _quant_conv(x, wq, sw, bn_bias, strides, padding, out_dtype, amax=None):
     also halve HBM bytes). Accumulator safety: |sum| <=
     9*2048*127^2 ~ 3e8 < 2^31 for every conv here.
     """
-    xf = x.astype(jnp.float32)
-    if amax is None:
-        amax = jnp.max(jnp.abs(xf))
-    sx = jnp.maximum(amax, 1e-12) / 127.0
-    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    if isinstance(x, QTensor):
+        # chained input (int8_static link quantization): the producer (or
+        # its stage module) already quantized this tensor with the
+        # calibrated link scale — same scale value, same arithmetic as the
+        # consumer-side quantize would use, so outputs stay BIT-IDENTICAL
+        # to the unchained program; the bf16 intermediate and the separate
+        # quantize pass just never exist.
+        xq, sx = x.q, x.scale
+    else:
+        xf = x.astype(jnp.float32)
+        if amax is None:
+            amax = jnp.max(jnp.abs(xf))
+        sx = jnp.maximum(amax, 1e-12) / 127.0
+        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
     y = jax.lax.conv_general_dilated(
         xq, wq, strides, padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
     return (y.astype(jnp.float32) * (sx * sw) + bn_bias).astype(out_dtype)
+
+
+class QTensor:
+    """A quantized activation: ``q`` int8, ``scale`` f32 scalar —
+    ``q * scale`` approximates the bf16 value. Flows between int8_static
+    layers when link chaining is active (``_link_quant``)."""
+
+    __slots__ = ("q", "scale")
+
+    def __init__(self, q, scale):
+        self.q = q
+        self.scale = scale
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+
+def _link_quant(mdl, name, x, active):
+    """Parent-side link quantization for int8_static chaining.
+
+    Declares a "quant"-collection running abs-max for a link tensor (a
+    quantized conv's input that this module produces or assembles).
+    During a calibration pass (mutable "quant") it records the abs-max
+    and returns ``x`` unchanged — the calibration program runs UNCHAINED,
+    so every downstream recording sees exactly the activations the
+    unchained serving program would. At static serving it returns
+    ``QTensor(x)`` quantized with the calibrated scale: the consumer conv
+    skips its own activation quantize (bit-identical arithmetic — same
+    tensor, same recorded scale), XLA fuses the quantize into the
+    producing epilogue, and the bf16 intermediate never round-trips HBM.
+
+    For concat links pass the PARTS via ``_link_quant_concat``: quantizing
+    each branch with the shared concat scale before an s8 concat is
+    elementwise-identical to quantizing the bf16 concat.
+    """
+    if not active:
+        return x
+    recording = (mdl.is_mutable_collection("quant")
+                 and not mdl.is_initializing())
+    var = mdl.variable("quant", name, lambda: jnp.zeros((), jnp.float32))
+    if recording:
+        var.value = jnp.maximum(
+            var.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+        return x
+    sx = jnp.maximum(var.value, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                 -127, 127).astype(jnp.int8)
+    return QTensor(q, sx)
+
+
+def _link_quant_concat(mdl, name, parts, active):
+    """Concat-link chaining: record the scale on the CONCAT during
+    calibration, quantize each branch with that shared scale and concat
+    in s8 at serving (the concat then moves half the bytes and each
+    branch's quantize fuses into its producer's epilogue)."""
+    if not active:
+        return jnp.concatenate(parts, axis=-1)
+    recording = (mdl.is_mutable_collection("quant")
+                 and not mdl.is_initializing())
+    var = mdl.variable("quant", name, lambda: jnp.zeros((), jnp.float32))
+    if recording:
+        cat = jnp.concatenate(parts, axis=-1)
+        var.value = jnp.maximum(
+            var.value, jnp.max(jnp.abs(cat.astype(jnp.float32))))
+        return cat
+    sx = jnp.maximum(var.value, 1e-12) / 127.0
+    qs = [jnp.clip(jnp.round(p.astype(jnp.float32) / sx),
+                   -127, 127).astype(jnp.int8) for p in parts]
+    return QTensor(jnp.concatenate(qs, axis=-1), sx)
 
 
 class ConvBNAct(nn.Module):
@@ -433,6 +512,47 @@ class ConvBNAct(nn.Module):
             "input_s2d requires the stride1_keep stem"
         pad = (self.kernel_size - 1) // 2
         qmode = {False: "none", True: "int8"}.get(self.quant, self.quant)
+        chained = isinstance(x, QTensor)
+        if (qmode != "none" and not train and self.s2d == "stride1_keep"
+                and not chained and x.dtype == jnp.uint8
+                and self.bn and not self.bias):
+            # Direct-u8 int8 stem: consume the uint8 wire bytes as SHIFTED
+            # s8 activations (x_s8 = x_u8 - 128; the conv's zero padding in
+            # image space becomes -128 in the shifted domain), fold the
+            # /255 normalization into the dequant scale and the shift into
+            # an integer correction (128 * sum(wq) per out channel):
+            #   conv(x_u8/255, wq*sw) = (sw/255)*(conv(x_s8, wq) + 128*csum)
+            # — an EXACT integer identity, so the whole normalize pass
+            # (uint8->f32 convert + div, ~1.7 ms/batch at 608/b16 in the
+            # serving trace) vanishes and activation quantization adds NO
+            # error at all (uint8 pixels are exact 8-bit values); weight
+            # quantization is the only approximation, as in every other
+            # int8 layer. BN folds into the original kernel before the s2d
+            # rearrangement (rearranged blocks are copies of original-
+            # channel taps, so per-packed-channel scales are the original
+            # ones tiled — the same property the wpack quant path uses).
+            kernel = _ConvKernel((3, 3, 3, self.out_ch), name="conv")()
+            s, b = _BNFold(self.out_ch, name="norm")()
+            wf = _s2d_stride1_kernel(kernel * s)
+            wq, sw, _ = _quant_state(self, qmode, x, wf)  # u8 needs no amax
+            csum = jnp.sum(wq.astype(jnp.int32), axis=(0, 1, 2))
+            if not input_s2d:
+                x = space_to_depth(x)
+            xs = (x.astype(jnp.int16) - 128).astype(jnp.int8)
+            xs = jnp.pad(xs, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                         constant_values=-128)
+            y = jax.lax.conv_general_dilated(
+                xs, wq, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            out = ((y + 128 * csum).astype(jnp.float32) * (sw / 255.0)
+                   + jnp.tile(b, 4)).astype(self.dtype)
+            return ACTIVATIONS[self.act](out)
+        if not chained and x.dtype == jnp.uint8:
+            # uint8 reached a non-quantized path (e.g. a float-input
+            # fallback): normalize here so behavior matches a pre-divided
+            # input regardless of who packed the wire
+            x = x.astype(jnp.float32) / 255.0
         if (qmode != "none" and not train and self.s2d == "none"
                 and self.bn and not self.bias):
             kshape = (self.kernel_size, self.kernel_size, x.shape[-1],
@@ -614,9 +734,12 @@ class _WPackResBlock(nn.Module):
     dtype: Any = jnp.float32
     bn_axis: Any = None
     quant: Any = "none"  # see _WPackConvBN
+    quant_chain: bool = True  # int8_static link chaining (_link_quant)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        qmode = {False: "none", True: "int8"}.get(self.quant, self.quant)
+        chain = self.quant_chain and qmode == "int8_static" and not train
         for i in range(self.num_blocks):
             h = _WPackConvBN(self.ch, self.ch, 1, act=self.act,
                              dtype=self.dtype, bn_axis=self.bn_axis,
@@ -625,7 +748,9 @@ class _WPackResBlock(nn.Module):
             h = _WPackConvBN(self.ch, self.ch, 3, act=self.act,
                              dtype=self.dtype, bn_axis=self.bn_axis,
                              quant=self.quant,
-                             name=f"module_list_{i}_1")(h, train)
+                             name=f"module_list_{i}_1")(
+                                 _link_quant(self, f"link_{i}", h, chain),
+                                 train)
             x = x + h if self.shortcut else h
         return x
 
@@ -700,16 +825,20 @@ class ResBlock(nn.Module):
     dtype: Any = jnp.float32
     bn_axis: Any = None
     quant: Any = "none"  # "none" | "int8" | "int8_static" (see ConvBNAct)
+    quant_chain: bool = True  # int8_static link chaining (_link_quant)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        qmode = {False: "none", True: "int8"}.get(self.quant, self.quant)
+        chain = self.quant_chain and qmode == "int8_static" and not train
         for i in range(self.num_blocks):
             h = ConvBNAct(self.ch, 1, 1, act=self.act, dtype=self.dtype,
                           bn_axis=self.bn_axis, quant=self.quant,
                           name=f"module_list_{i}_0")(x, train)
             h = ConvBNAct(self.ch, 3, 1, act=self.act, dtype=self.dtype,
                           bn_axis=self.bn_axis, quant=self.quant,
-                          name=f"module_list_{i}_1")(h, train)
+                          name=f"module_list_{i}_1")(
+                              _link_quant(self, f"link_{i}", h, chain), train)
             x = x + h if self.shortcut else h
         return x
 
@@ -738,16 +867,23 @@ class CSPDownSample0(nn.Module):
     # "int8" | "int8_static" — see ConvBNAct/_WPackConvBN). Reaches this
     # stage only with MODEL.QUANT_SPAN "full".
     quant: Any = "none"
+    # int8_static link chaining (_link_quant): parent-side quantization of
+    # conv inputs this module assembles, bit-identical to the unchained
+    # program. MODEL.QUANT_CHAIN=false disables (A/B knob).
+    quant_chain: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         c, k, s, a, d = self.out_ch, self.kernel_size, self.stride, self.act, self.dtype
         bx = self.bn_axis
         q = self.quant
+        qmode = {False: "none", True: "int8"}.get(q, q)
+        chain = self.quant_chain and qmode == "int8_static" and not train
         if self.wpack:
             assert self.s2d_base in ("stride2_pre_wpack", "stride2_wpack")
             x = ConvBNAct(c, k, s, act=a, dtype=d, name="base", bn_axis=bx,
                           s2d=self.s2d_base)(x, train)  # -> packed
+            x = _link_quant(self, "link_base", x, chain)
             x1 = _WPackConvBN(c, c, 1, act=a, dtype=d, bn_axis=bx, quant=q,
                               name="part1")(x, train)
             x2a = _WPackConvBN(c, c, 1, act=a, dtype=d, bn_axis=bx, quant=q,
@@ -755,11 +891,15 @@ class CSPDownSample0(nn.Module):
             h = _WPackConvBN(c, c // 2, 1, act=a, dtype=d, bn_axis=bx,
                              quant=q, name="part2_1_2_0")(x2a, train)
             h = _WPackConvBN(c // 2, c, 3, act=a, dtype=d, bn_axis=bx,
-                             quant=q, name="part2_1_2_1")(h, train)
+                             quant=q, name="part2_1_2_1")(
+                                 _link_quant(self, "link_r0", h, chain),
+                                 train)
             x2 = x2a + h
             x2 = _WPackConvBN(c, c, 1, act=a, dtype=d, bn_axis=bx, quant=q,
-                              name="part2_2")(x2, train)
-            cat = jnp.concatenate([x2, x1], axis=-1)
+                              name="part2_2")(
+                                  _link_quant(self, "link_p22", x2, chain),
+                                  train)
+            cat = _link_quant_concat(self, "link_cat", [x2, x1], chain)
             return _WPackConvBN(2 * c, c, 1, act=a, dtype=d, bn_axis=bx,
                                 quant=q, concat_ca=c,
                                 name="transition")(cat, train)
@@ -787,6 +927,7 @@ class CSPDownSample0(nn.Module):
                 x, folded, num_blocks=0,
                 interpret=jax.default_backend() != "tpu")
 
+        x = _link_quant(self, "link_base", x, chain)
         x1 = ConvBNAct(c, 1, 1, act=a, dtype=d, bn_axis=bx, quant=q,
                        name="part1")(x, train)
 
@@ -795,12 +936,15 @@ class CSPDownSample0(nn.Module):
         x2_1_2 = ConvBNAct(c // 2, 1, 1, act=a, dtype=d, bn_axis=bx, quant=q,
                            name="part2_1_2_0")(x2_1_1, train)
         x2_1_2 = ConvBNAct(c, 3, 1, act=a, dtype=d, bn_axis=bx, quant=q,
-                           name="part2_1_2_1")(x2_1_2, train)
+                           name="part2_1_2_1")(
+                               _link_quant(self, "link_r0", x2_1_2, chain),
+                               train)
         x2 = x2_1_1 + x2_1_2
         x2 = ConvBNAct(c, 1, 1, act=a, dtype=d, bn_axis=bx, quant=q,
-                       name="part2_2")(x2, train)
+                       name="part2_2")(
+                           _link_quant(self, "link_p22", x2, chain), train)
 
-        x = jnp.concatenate([x2, x1], axis=-1)
+        x = _link_quant_concat(self, "link_cat", [x2, x1], chain)
         return ConvBNAct(c, 1, 1, act=a, dtype=d, bn_axis=bx, quant=q,
                          name="transition")(x, train)
 
@@ -827,27 +971,35 @@ class CSPDownSample(nn.Module):
     # "none" | "int8" | "int8_static", see ConvBNAct). Takes precedence
     # over `fused`.
     quant: Any = "none"
+    # int8_static link chaining (see CSPDownSample0.quant_chain)
+    quant_chain: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         c, a, d = self.out_ch, self.act, self.dtype
         bx = self.bn_axis
+        qmode = {False: "none", True: "int8"}.get(self.quant, self.quant)
+        chain = self.quant_chain and qmode == "int8_static" and not train
         if self.wpack:
             assert self.s2d_base == "stride2_w2w", self.s2d_base
             c2 = c // 2
             q = self.quant
             x = ConvBNAct(c, self.kernel_size, self.stride, act=a, dtype=d,
                           name="base", bn_axis=bx, s2d=self.s2d_base)(x, train)
+            x = _link_quant(self, "link_base", x, chain)
             x1 = _WPackConvBN(c, c2, 1, act=a, dtype=d, bn_axis=bx, quant=q,
                               name="part1")(x, train)
             x2 = _WPackConvBN(c, c2, 1, act=a, dtype=d, bn_axis=bx, quant=q,
                               name="part2_0")(x, train)
             x2 = _WPackResBlock(c2, num_blocks=self.num_blocks,
                                 shortcut=self.shortcut, act=a, dtype=d,
-                                bn_axis=bx, quant=q, name="part2_1")(x2, train)
+                                bn_axis=bx, quant=q, quant_chain=self.quant_chain,
+                                name="part2_1")(x2, train)
             x2 = _WPackConvBN(c2, c2, 1, act=a, dtype=d, bn_axis=bx, quant=q,
-                              name="part2_2")(x2, train)
-            cat = jnp.concatenate([x2, x1], axis=-1)
+                              name="part2_2")(
+                                  _link_quant(self, "link_p22", x2, chain),
+                                  train)
+            cat = _link_quant_concat(self, "link_cat", [x2, x1], chain)
             return _WPackConvBN(c, c, 1, act=a, dtype=d, bn_axis=bx, quant=q,
                                 concat_ca=c2, name="transition")(cat, train)
 
@@ -878,16 +1030,19 @@ class CSPDownSample(nn.Module):
                 interpret=jax.default_backend() != "tpu")
 
         q = self.quant
+        x = _link_quant(self, "link_base", x, chain)
         x1 = ConvBNAct(c // 2, 1, 1, act=a, dtype=d, bn_axis=bx, quant=q,
                        name="part1")(x, train)
 
         x2 = ConvBNAct(c // 2, 1, 1, act=a, dtype=d, bn_axis=bx, quant=q,
                        name="part2_0")(x, train)
         x2 = ResBlock(c // 2, num_blocks=self.num_blocks, shortcut=self.shortcut,
-                      act=a, dtype=d, bn_axis=bx, quant=q, name="part2_1")(x2, train)
+                      act=a, dtype=d, bn_axis=bx, quant=q,
+                      quant_chain=self.quant_chain, name="part2_1")(x2, train)
         x2 = ConvBNAct(c // 2, 1, 1, act=a, dtype=d, bn_axis=bx, quant=q,
-                       name="part2_2")(x2, train)
+                       name="part2_2")(
+                           _link_quant(self, "link_p22", x2, chain), train)
 
-        x = jnp.concatenate([x2, x1], axis=-1)
+        x = _link_quant_concat(self, "link_cat", [x2, x1], chain)
         return ConvBNAct(c, 1, 1, act=a, dtype=d, bn_axis=bx, quant=q,
                          name="transition")(x, train)

@@ -20,7 +20,13 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from yolov4_tpu.models.darknet import scale_channels
-from yolov4_tpu.models.layers import ConvBNAct
+from yolov4_tpu.models.layers import (ConvBNAct, _link_quant,
+                                      _link_quant_concat)
+
+
+def _chain_active(quant, quant_chain, train):
+    qmode = {False: "none", True: "int8"}.get(quant, quant)
+    return quant_chain and qmode == "int8_static" and not train
 
 
 def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
@@ -99,21 +105,25 @@ class SPPBlock(nn.Module):
     dtype: Any = jnp.float32
     width: float = 1.0
     quant: Any = "none"  # int8 serving convs (layers._quant_conv)
+    quant_chain: bool = True  # int8_static link chaining (_link_quant)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         d = self.dtype
+        ch = _chain_active(self.quant, self.quant_chain, train)
         w = lambda ch: scale_channels(ch, self.width)
         x = ConvBNAct(w(512), 1, 1, act="leaky_relu", dtype=d, quant=self.quant, name="conv1_0")(x, train)
-        x = ConvBNAct(w(1024), 3, 1, act="leaky_relu", dtype=d, quant=self.quant, name="conv1_1")(x, train)
-        x = ConvBNAct(w(512), 1, 1, act="leaky_relu", dtype=d, quant=self.quant, name="conv1_2")(x, train)
+        x = ConvBNAct(w(1024), 3, 1, act="leaky_relu", dtype=d, quant=self.quant, name="conv1_1")(
+            _link_quant(self, "link_0", x, ch), train)
+        x = ConvBNAct(w(512), 1, 1, act="leaky_relu", dtype=d, quant=self.quant, name="conv1_2")(
+            _link_quant(self, "link_1", x, ch), train)
 
         m1 = maxpool_same(x, 5)
         m2 = maxpool_same(x, 9)
         # reference quirk: third branch reuses pool size 5 (yolov4.py:70)
         m3 = maxpool_same(x, 5) if self.legacy_pools else maxpool_same(x, 13)
 
-        x = jnp.concatenate([m3, m2, m1, x], axis=-1)
+        x = _link_quant_concat(self, "link_cat", [m3, m2, m1, x], ch)
         return ConvBNAct(w(512), 1, 1, act="leaky_relu", dtype=d, quant=self.quant, name="conv2")(x, train)
 
 
@@ -123,27 +133,36 @@ class FPNBlock(nn.Module):
     dtype: Any = jnp.float32
     width: float = 1.0
     quant: Any = "none"
+    quant_chain: bool = True  # int8_static link chaining (_link_quant)
 
     @nn.compact
     def __call__(self, x3, x4, x5, train: bool = False):
         d = self.dtype
+        chn = _chain_active(self.quant, self.quant_chain, train)
         w = lambda ch: scale_channels(ch, self.width)
         f3 = ConvBNAct(w(1024), 3, 1, act="leaky_relu", dtype=d, quant=self.quant, name="module1_0")(x5, train)
-        f3 = ConvBNAct(w(512), 1, 1, act="leaky_relu", dtype=d, quant=self.quant, name="module1_1")(f3, train)
+        f3 = ConvBNAct(w(512), 1, 1, act="leaky_relu", dtype=d, quant=self.quant, name="module1_1")(
+            _link_quant(self, "link_m1", f3, chn), train)
 
         f2 = ConvBNAct(w(256), 1, 1, dtype=d, quant=self.quant, name="conv3")(f3, train)  # default act: leaky
         f2 = upsample2x_nearest(f2)
         x4 = ConvBNAct(w(256), 1, 1, act="leaky_relu", dtype=d, quant=self.quant, name="conv4")(x4, train)
-        f2 = jnp.concatenate([x4, f2], axis=-1)
+        f2 = _link_quant_concat(self, "link_cat2", [x4, f2], chn)
         for i, (ch, k) in enumerate([(256, 1), (512, 3), (256, 1), (512, 3), (256, 1)]):
             f2 = ConvBNAct(w(ch), k, 1, act="leaky_relu", dtype=d, quant=self.quant, name=f"module2_{i}")(f2, train)
+            if i < 4:
+                f2 = _link_quant(self, f"link_m2_{i}", f2, chn)
 
+        # f2 leaves this module in bf16 (it is both conv10's input and a
+        # PAN concat member): only wrap the conv10 link tensor
         f1 = ConvBNAct(w(128), 1, 1, dtype=d, quant=self.quant, name="conv10")(f2, train)
         f1 = upsample2x_nearest(f1)
         x3 = ConvBNAct(w(128), 1, 1, act="leaky_relu", dtype=d, quant=self.quant, name="conv11")(x3, train)
-        f1 = jnp.concatenate([x3, f1], axis=-1)
+        f1 = _link_quant_concat(self, "link_cat3", [x3, f1], chn)
         for i, (ch, k) in enumerate([(128, 1), (256, 3), (128, 1), (256, 3), (128, 1)]):
             f1 = ConvBNAct(w(ch), k, 1, act="leaky_relu", dtype=d, quant=self.quant, name=f"module3_{i}")(f1, train)
+            if i < 4:
+                f1 = _link_quant(self, f"link_m3_{i}", f1, chn)
 
         return f1, f2, f3
 
@@ -154,22 +173,29 @@ class PANBlock(nn.Module):
     dtype: Any = jnp.float32
     width: float = 1.0
     quant: Any = "none"
+    quant_chain: bool = True  # int8_static link chaining (_link_quant)
 
     @nn.compact
     def __call__(self, f1, f2, f3, train: bool = False):
         d = self.dtype
+        chn = _chain_active(self.quant, self.quant_chain, train)
         w = lambda ch: scale_channels(ch, self.width)
         p1 = f1
 
         p2 = ConvBNAct(w(256), 3, 2, act="leaky_relu", dtype=d, quant=self.quant, name="conv1")(f1, train)
-        p2 = jnp.concatenate([p2, f2], axis=-1)
+        p2 = _link_quant_concat(self, "link_cat1", [p2, f2], chn)
         for i, (ch, k) in enumerate([(256, 1), (512, 3), (256, 1), (512, 3), (256, 1)]):
             p2 = ConvBNAct(w(ch), k, 1, act="leaky_relu", dtype=d, quant=self.quant, name=f"module1_{i}")(p2, train)
+            if i < 4:
+                p2 = _link_quant(self, f"link_m1_{i}", p2, chn)
 
+        # p2 stays bf16: it feeds both conv7 and the head
         p3 = ConvBNAct(w(512), 3, 2, act="leaky_relu", dtype=d, quant=self.quant, name="conv7")(p2, train)
-        p3 = jnp.concatenate([p3, f3], axis=-1)
+        p3 = _link_quant_concat(self, "link_cat2", [p3, f3], chn)
         for i, (ch, k) in enumerate([(512, 1), (1024, 3), (512, 1), (1024, 3), (512, 1)]):
             p3 = ConvBNAct(w(ch), k, 1, act="leaky_relu", dtype=d, quant=self.quant, name=f"module2_{i}")(p3, train)
+            if i < 4:
+                p3 = _link_quant(self, f"link_m2_{i}", p3, chn)
 
         return p1, p2, p3
 
@@ -181,13 +207,16 @@ class Neck(nn.Module):
     dtype: Any = jnp.float32
     width: float = 1.0  # channel multiplier (1.0 = reference; see darknet.py)
     quant: Any = "none"  # int8 serving convs (layers._quant_conv)
+    quant_chain: bool = True  # int8_static link chaining (_link_quant)
 
     @nn.compact
     def __call__(self, x3, x4, x5, train: bool = False):
         spp = SPPBlock(legacy_pools=self.legacy_pools, dtype=self.dtype,
                        width=self.width, quant=self.quant,
-                       name="spp")(x5, train)
+                       quant_chain=self.quant_chain, name="spp")(x5, train)
         f1, f2, f3 = FPNBlock(dtype=self.dtype, width=self.width,
-                              quant=self.quant, name="fpn")(x3, x4, spp, train)
+                              quant=self.quant, quant_chain=self.quant_chain,
+                              name="fpn")(x3, x4, spp, train)
         return PANBlock(dtype=self.dtype, width=self.width,
-                        quant=self.quant, name="pan")(f1, f2, f3, train)
+                        quant=self.quant, quant_chain=self.quant_chain,
+                        name="pan")(f1, f2, f3, train)

@@ -60,6 +60,12 @@ class YOLOv4(nn.Module):
     # unpacked int8; see darknet.Backbone.quant_span).
     quant: str = "none"
     quant_span: str = "late"
+    # int8_static link chaining (layers._link_quant; bit-identical,
+    # MODEL.QUANT_CHAIN=false disables for A/B)
+    quant_chain: bool = True
+    # direct-u8 int8 stem (default OFF — measured negative; see
+    # darknet.Backbone.quant_stem)
+    quant_stem: bool = False
     # width/depth multipliers (1.0 = the reference architecture exactly;
     # see darknet.scale_channels/scale_blocks). Smaller values build
     # topology-identical reduced variants, e.g. for smoke-scale sharding
@@ -76,17 +82,24 @@ class YOLOv4(nn.Module):
 
         decode=False returns the three raw NHWC head maps (for custom
         postprocessing or export)."""
-        x = x.astype(self.dtype)
+        if x.dtype != jnp.uint8:
+            x = x.astype(self.dtype)
+        # uint8 stays uint8 into the Backbone: the quantized stem consumes
+        # the wire bytes directly (exact shifted-s8 lowering) and the
+        # non-quant paths normalize at the stem (darknet.Backbone)
         quant = {False: "none", True: "int8"}.get(self.quant, self.quant)
         x3, x4, x5 = Backbone(return_pyramid=True, dtype=self.dtype,
                               s2d=self.s2d, pallas_csp=self.pallas_csp,
                               wpack=self.wpack, quant=quant,
                               quant_span=self.quant_span,
+                              quant_chain=self.quant_chain,
+                              quant_stem=self.quant_stem,
                               width=self.width, depth=self.depth,
                               name="backbone")(x, train,
                                                input_s2d=input_s2d)
         p1, p2, p3 = Neck(legacy_pools=self.legacy_spp_pools, dtype=self.dtype,
                           width=self.width, quant=quant,
+                          quant_chain=self.quant_chain,
                           name="neck")(x3, x4, x5, train)
         split = self.split_head
         if split == "auto":
@@ -116,6 +129,8 @@ def build_model(cfg: Dict) -> YOLOv4:
         split_head=model_cfg.get("SPLIT_HEAD", False),
         quant=model_cfg.get("QUANT", "none"),
         quant_span=model_cfg.get("QUANT_SPAN", "late"),
+        quant_chain=bool(model_cfg.get("QUANT_CHAIN", True)),
+        quant_stem=bool(model_cfg.get("QUANT_STEM", False)),
         width=float(model_cfg.get("WIDTH", 1.0)),
         depth=float(model_cfg.get("DEPTH", 1.0)),
     )
