@@ -126,7 +126,6 @@ def postprocess(predictions: jnp.ndarray, num_classes: int,
     """
     predictions = predictions.astype(jnp.float32)
     b, n, _ = predictions.shape
-    boxes = cxcywh_to_xyxy(predictions[..., :4])                # [B, N, 4]
     obj = predictions[..., 4]                                   # [B, N]
     cls_prob = predictions[..., 5:5 + num_classes]              # [B, N, C]
 
@@ -140,9 +139,16 @@ def postprocess(predictions: jnp.ndarray, num_classes: int,
     best_per_box = obj * jnp.max(cls_prob, axis=-1)             # [B, N]
     _, box_sel = top_k(best_per_box, k_box)                     # [B, Kb]
     box_sel = box_sel.astype(jnp.int32)
-    sel_obj_boxes = jnp.take_along_axis(obj, box_sel, axis=1)   # [B, Kb]
-    sel_cls_boxes = jnp.take_along_axis(
-        cls_prob, box_sel[..., None], axis=1)                   # [B, Kb, C]
+    # ONE row gather from the decoded output: the 85-wide rows carry box,
+    # obj, and classes together, so neither a separate [B,N,C] class-prob
+    # buffer nor an [B,N,4] xyxy buffer ever materializes (each is a
+    # ~120 MB tensor at 608/b16 whose gather/layout copies dominated the
+    # postprocess trace); box conversion runs on the 2048-row selection.
+    sel_rows = jnp.take_along_axis(
+        predictions, box_sel[..., None], axis=1)                # [B, Kb, 85]
+    sel_boxes_kb = cxcywh_to_xyxy(sel_rows[..., :4])            # [B, Kb, 4]
+    sel_obj_boxes = sel_rows[..., 4]                            # [B, Kb]
+    sel_cls_boxes = sel_rows[..., 5:5 + num_classes]            # [B, Kb, C]
 
     pair_scores = sel_obj_boxes[..., None] * sel_cls_boxes      # [B, Kb, C]
     flat = pair_scores.reshape(b, k_box * num_classes)
@@ -154,10 +160,11 @@ def postprocess(predictions: jnp.ndarray, num_classes: int,
 
     box_local = top_idx // num_classes                          # [B, K] in Kb
     cls_idx = top_idx % num_classes
-    box_idx = jnp.take_along_axis(box_sel, box_local, axis=1)   # [B, K] in N
 
-    sel_boxes = jnp.take_along_axis(boxes, box_idx[..., None], axis=1)  # [B, K, 4]
-    sel_obj = jnp.take_along_axis(obj, box_idx, axis=1)
+    # second-stage gathers index the Kb-row selection, not the N-row field
+    sel_boxes = jnp.take_along_axis(
+        sel_boxes_kb, box_local[..., None], axis=1)             # [B, K, 4]
+    sel_obj = jnp.take_along_axis(sel_obj_boxes, box_local, axis=1)
     sel_cls_conf = top_scores / jnp.maximum(sel_obj, 1e-16)
 
     # class-offset trick: disjoint coordinate islands per class
