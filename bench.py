@@ -274,7 +274,7 @@ def device_rates(predictor, preprocess_batch, batch, size):
         try:
             proc = subprocess.run(
                 [sys.executable, "tools/bench_device.py", "--parts",
-                 "fwd_nms", "--quant", "int8_static", "--json",
+                 "serve", "--quant", "int8_static", "--json",
                  "--img-size", str(size), "--batch", str(batch),
                  "--conf-thre", str(predictor.conf_thre),
                  "--nms-thre", str(predictor.nms_thre)],

@@ -158,14 +158,24 @@ class Backbone(nn.Module):
                       s2d=stem_s2d, quant=stem_q)(x, train,
                                                   input_s2d=input_s2d)
         qc = self.quant_chain
+        # cross-stage links (int8_static chaining): each stage's output
+        # feeds exactly ONE consumer — the next stage's (quantized) base
+        # conv — for stage1/2; stage3+ outputs also feed the neck, so they
+        # stay bf16. The stem->stage1 link needs the quantized base form.
+        from yolov4_tpu.models.layers import _link_quant
+        chain12 = qc and q12 == "int8_static" and not train
+        chain3 = qc and self.quant == "int8_static" and not train
+        x = _link_quant(self, "link_stem", x, chain12)
         x = CSPDownSample0(w(64), 3, 2, act="mish", dtype=d, name="stage1",
                            bn_axis=bx, s2d_base=base1_s2d,
                            fused=fused and not wpack,
                            wpack=wpack, quant=q12, quant_chain=qc)(x, train)
+        x = _link_quant(self, "link_s12", x, chain12)
         x = CSPDownSample(w(128), 3, 2, num_blocks=nb(2), act="mish", dtype=d,
                           name="stage2", bn_axis=bx, s2d_base=base2_s2d,
                           fused=fused and not wpack2,
                           wpack=wpack2, quant=q12, quant_chain=qc)(x, train)
+        x = _link_quant(self, "link_s23", x, chain3)
         x3 = CSPDownSample(w(256), 3, 2, num_blocks=nb(8), act="mish", dtype=d,
                            bn_axis=bx, name="stage3", s2d_base=base3_s2d,
                            fused=fused, quant=self.quant,

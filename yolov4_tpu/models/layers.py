@@ -553,6 +553,54 @@ class ConvBNAct(nn.Module):
             # fallback): normalize here so behavior matches a pre-divided
             # input regardless of who packed the wire
             x = x.astype(jnp.float32) / 255.0
+        if (qmode != "none" and not train and self.bn and not self.bias
+                and self.s2d in ("stride2", "stride2_pre",
+                                 "stride2_pre_wpack", "stride2_wpack",
+                                 "stride2_from_wpack", "stride2_w2w")
+                and not (self.s2d == "stride2"
+                         and (x.shape[1] % 2 or x.shape[2] % 2))):
+            # Quantized strided base convs (the s2d/wpack rearranged-kernel
+            # forms): BN folds into the ORIGINAL kernel, then the same
+            # trace-time rearrangement as the bf16 path runs on the folded
+            # kernel. Every rearranged tap is a copy of an original-channel
+            # tap, so per-final-out-channel abs-max scales equal the
+            # original ones tiled and the zero blocks are exact in integer
+            # accumulation — the same property the _WPackConvBN quant path
+            # uses (packed int8 == unpacked int8 bitwise).
+            cin = (x.shape[-1] // 4
+                   if self.s2d in ("stride2_pre", "stride2_pre_wpack")
+                   else x.shape[-1] // 2
+                   if self.s2d in ("stride2_from_wpack", "stride2_w2w")
+                   else x.shape[-1])
+            kernel = _ConvKernel((3, 3, cin, self.out_ch), name="conv")()
+            s, b = _BNFold(self.out_ch, name="norm")()
+            rearrange, strides, padding, tile = {
+                "stride2": (_s2d_stride2_kernel, (1, 1),
+                            [(1, 0), (1, 0)], 1),
+                "stride2_pre": (_s2d_stride2_kernel, (1, 1),
+                                [(1, 0), (1, 0)], 1),
+                "stride2_pre_wpack": (
+                    lambda kk: _wpack_entry_s2d_kernel(
+                        _s2d_stride2_kernel(kk)),
+                    (1, 2), [(1, 0), (1, 1)], 2),
+                "stride2_wpack": (
+                    lambda kk: _wpack_entry_s2d_kernel(
+                        _s2d_stride2_kernel(kk)),
+                    (1, 2), [(1, 0), (1, 1)], 2),
+                "stride2_from_wpack": (
+                    _wpack_exit_s2_kernel, (2, 1), [(1, 1), (1, 0)], 1),
+                "stride2_w2w": (
+                    _wpack_s2_w2w_kernel, (2, 2), [(1, 1), (1, 1)], 2),
+            }[self.s2d]
+            if self.s2d in ("stride2", "stride2_wpack"):
+                x = (QTensor(space_to_depth(x.q), x.scale) if chained
+                     else space_to_depth(x))
+            wf = rearrange(kernel * s)
+            wq, sw, amax = _quant_state(self, qmode, x, wf)
+            x = _quant_conv(x, wq, sw,
+                            b if tile == 1 else jnp.tile(b, tile),
+                            strides, padding, self.dtype, amax=amax)
+            return ACTIVATIONS[self.act](x)
         if (qmode != "none" and not train and self.s2d == "none"
                 and self.bn and not self.bias):
             kshape = (self.kernel_size, self.kernel_size, x.shape[-1],
@@ -882,7 +930,7 @@ class CSPDownSample0(nn.Module):
         if self.wpack:
             assert self.s2d_base in ("stride2_pre_wpack", "stride2_wpack")
             x = ConvBNAct(c, k, s, act=a, dtype=d, name="base", bn_axis=bx,
-                          s2d=self.s2d_base)(x, train)  # -> packed
+                          s2d=self.s2d_base, quant=q)(x, train)  # -> packed
             x = _link_quant(self, "link_base", x, chain)
             x1 = _WPackConvBN(c, c, 1, act=a, dtype=d, bn_axis=bx, quant=q,
                               name="part1")(x, train)
@@ -985,7 +1033,8 @@ class CSPDownSample(nn.Module):
             c2 = c // 2
             q = self.quant
             x = ConvBNAct(c, self.kernel_size, self.stride, act=a, dtype=d,
-                          name="base", bn_axis=bx, s2d=self.s2d_base)(x, train)
+                          name="base", bn_axis=bx, s2d=self.s2d_base,
+                          quant=q)(x, train)
             x = _link_quant(self, "link_base", x, chain)
             x1 = _WPackConvBN(c, c2, 1, act=a, dtype=d, bn_axis=bx, quant=q,
                               name="part1")(x, train)
