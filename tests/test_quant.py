@@ -542,3 +542,43 @@ def test_quant_chain_bit_identical():
         b, qb = run(False, wpack)
         assert np.array_equal(a, b), (wpack, np.max(np.abs(a - b)))
         assert len(jax.tree.leaves(qa)) > len(jax.tree.leaves(qb))
+
+
+def test_u8_stem_float_calibration_then_u8_dispatch():
+    """Calibrating a QUANT_STEM predictor with FLOAT images must still
+    record the stem's quant variables: the float path keeps the bf16
+    stem, so without the predictor-side u8 conversion the next uint8
+    dispatch would hit the immutable quant collection missing the stem's
+    wq/sw/amax (crash found in review)."""
+    from yolov4_tpu.engine.predictor import Predictor
+
+    cfg = load_config()
+    cfg["MODEL"].update(WIDTH=0.25, DEPTH=0.25, QUANT="int8_static",
+                        QUANT_SPAN="full", QUANT_STEM=True)
+    cfg["TEST"]["IMGSIZE"] = 64
+    pred = Predictor(cfg, batch_size=1)
+    rng = np.random.default_rng(0)
+    pred.calibrate(rng.random((1, 64, 64, 3)).astype(np.float32))
+    dets, n_valid = pred(
+        (rng.random((1, 64, 64, 3)) * 255).astype(np.uint8))
+    assert np.all(np.isfinite(np.asarray(dets, np.float32)))
+
+
+def test_chained_qtensor_survives_bf16_fallback():
+    """A chained QTensor reaching a bf16-only conv form (the odd-size
+    "stride2" guard) must dequantize and continue, not crash: unfused s2d
+    + full span + chaining + odd input exercises exactly that fallback
+    (AttributeError found in review)."""
+    from yolov4_tpu.models.darknet import Backbone
+
+    m = Backbone(s2d="unfused", quant="int8_static", quant_span="full",
+                 quant_chain=True, wpack=False)
+    x = jnp.asarray(np.random.default_rng(0).random((1, 65, 65, 3)),
+                    jnp.float32)
+    v = jax.jit(lambda: m.init(jax.random.PRNGKey(0), x, train=False))()
+    _, upd = m.apply(v, x, train=False, mutable=["quant"])
+    outs = m.apply({**{k: t for k, t in v.items() if k != "quant"},
+                    "quant": upd["quant"]}, x, train=False)
+    assert [tuple(o.shape) for o in outs] == [
+        (1, 9, 9, 256), (1, 5, 5, 512), (1, 3, 3, 1024)]
+    assert all(np.all(np.isfinite(np.asarray(o, np.float32))) for o in outs)

@@ -110,7 +110,9 @@ def capture(trace_dir: str, img_size: int, batch: int, with_nms: bool,
         cfg = load_config()
         if pallas_csp:
             cfg["MODEL"]["PALLAS_CSP"] = True
-        if os.environ.get("YOLOV4_PROFILE_QUANT") == "1":
+        # env knob only when --quant was not given explicitly (same
+        # precedence as tools/attr_trace.py)
+        if quant == "none" and os.environ.get("YOLOV4_PROFILE_QUANT") == "1":
             quant = "int8"
         if quant != "none":
             cfg["MODEL"]["QUANT"] = quant

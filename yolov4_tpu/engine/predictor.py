@@ -140,6 +140,7 @@ class Predictor:
             and cfg["MODEL"].get("QUANT_SPAN", "late") == "full"
             and cfg["MODEL"].get("S2D_STEM", True) in (True, "fused")
             and size % 2 == 0)
+        self._u8_stem = u8_stem
 
         def _wire_to_images(flat_images):
             # ONE input lowering shared by the serving and calibration
@@ -211,6 +212,17 @@ class Predictor:
         post-training-quantization contract)."""
         if not self._quant_static:
             return
+        if self._u8_stem and images.dtype != np.uint8:
+            # The direct-u8 stem records its quant variables only when the
+            # traced calibration batch IS uint8 (the float input keeps the
+            # bf16 stem, darknet.Backbone); calibrating on floats would
+            # leave the collection missing the stem's wq/sw/amax and the
+            # next uint8 dispatch would crash on the immutable collection.
+            # Serving with QUANT_STEM always consumes uint8 wire bytes, so
+            # quantizing the calibration batch to uint8 is also the MORE
+            # representative distribution to record.
+            images = np.clip(np.round(np.asarray(images, np.float32)
+                                      * 255.0), 0, 255).astype(np.uint8)
         flat = self._pack_flat(images)
         base = {k: v for k, v in self.variables.items() if k != "quant"}
         feed = dict(base)

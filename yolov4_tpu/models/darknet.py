@@ -82,9 +82,11 @@ class Backbone(nn.Module):
     # stage1/stage2 interiors (incl. their lane-packed forms — the
     # round-3 act-bound probe killed the "Mish-VPU-bound" exclusion, and
     # the shape probe measured packed 1x1/3x3 int8 chains at 0.24x/0.46x
-    # bf16, tools/exp_int8.py). The stem and the strided base/boundary
-    # convs stay bf16: their s2d-rearranged kernels are where the s2d
-    # lowering already pays, and they are one conv per stage.
+    # bf16, tools/exp_int8.py). With "full", the strided base/boundary
+    # convs quantize through their rearranged-kernel forms too
+    # (layers.ConvBNAct strided-quant branch — BN folds into the ORIGINAL
+    # kernel before the trace-time rearrangement); only the stem stays
+    # bf16 unless quant_stem additionally opts it in.
     quant: Any = "none"
     quant_span: str = "late"
     # int8_static link chaining (layers._link_quant): bit-identical to the
@@ -162,9 +164,9 @@ class Backbone(nn.Module):
         # feeds exactly ONE consumer — the next stage's (quantized) base
         # conv — for stage1/2; stage3+ outputs also feed the neck, so they
         # stay bf16. The stem->stage1 link needs the quantized base form.
-        from yolov4_tpu.models.layers import _link_quant
-        chain12 = qc and q12 == "int8_static" and not train
-        chain3 = qc and self.quant == "int8_static" and not train
+        from yolov4_tpu.models.layers import _chain_active, _link_quant
+        chain12 = _chain_active(q12, qc, train)
+        chain3 = _chain_active(self.quant, qc, train)
         x = _link_quant(self, "link_stem", x, chain12)
         x = CSPDownSample0(w(64), 3, 2, act="mish", dtype=d, name="stage1",
                            bn_axis=bx, s2d_base=base1_s2d,

@@ -452,6 +452,14 @@ def _link_quant_concat(mdl, name, parts, active):
     return QTensor(jnp.concatenate(qs, axis=-1), sx)
 
 
+def _chain_active(quant, quant_chain, train):
+    """True when int8_static link chaining applies — the one predicate
+    every ``_link_quant`` call site gates on (eval-only, static mode,
+    MODEL.QUANT_CHAIN enabled)."""
+    qmode = {False: "none", True: "int8"}.get(quant, quant)
+    return bool(quant_chain) and qmode == "int8_static" and not train
+
+
 class ConvBNAct(nn.Module):
     """Conv2d (same padding) + optional BatchNorm + activation
     (reference darknet.py:23-58).
@@ -620,6 +628,15 @@ class ConvBNAct(nn.Module):
             x = _quant_conv(x, wq, sw, b, (self.stride, self.stride),
                             [(pad, pad), (pad, pad)], self.dtype, amax=amax)
             return ACTIVATIONS[self.act](x)
+        if isinstance(x, QTensor):
+            # A chained producer quantized this input but no int8 branch
+            # above accepted it (e.g. the odd-size "stride2" guard, or a
+            # config combination that chains into a bf16-only form):
+            # dequantize and continue on the float path. q*scale is
+            # exactly the value the int8 consumer would have computed
+            # with, so accuracy matches the chained program — only the
+            # MXU saving is lost for this one conv.
+            x = x.q.astype(jnp.float32) * x.scale
         if self.s2d == "none":
             x = nn.Conv(
                 features=self.out_ch,
@@ -786,8 +803,7 @@ class _WPackResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        qmode = {False: "none", True: "int8"}.get(self.quant, self.quant)
-        chain = self.quant_chain and qmode == "int8_static" and not train
+        chain = _chain_active(self.quant, self.quant_chain, train)
         for i in range(self.num_blocks):
             h = _WPackConvBN(self.ch, self.ch, 1, act=self.act,
                              dtype=self.dtype, bn_axis=self.bn_axis,
@@ -877,8 +893,7 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        qmode = {False: "none", True: "int8"}.get(self.quant, self.quant)
-        chain = self.quant_chain and qmode == "int8_static" and not train
+        chain = _chain_active(self.quant, self.quant_chain, train)
         for i in range(self.num_blocks):
             h = ConvBNAct(self.ch, 1, 1, act=self.act, dtype=self.dtype,
                           bn_axis=self.bn_axis, quant=self.quant,
@@ -925,8 +940,7 @@ class CSPDownSample0(nn.Module):
         c, k, s, a, d = self.out_ch, self.kernel_size, self.stride, self.act, self.dtype
         bx = self.bn_axis
         q = self.quant
-        qmode = {False: "none", True: "int8"}.get(q, q)
-        chain = self.quant_chain and qmode == "int8_static" and not train
+        chain = _chain_active(q, self.quant_chain, train)
         if self.wpack:
             assert self.s2d_base in ("stride2_pre_wpack", "stride2_wpack")
             x = ConvBNAct(c, k, s, act=a, dtype=d, name="base", bn_axis=bx,
@@ -1026,8 +1040,7 @@ class CSPDownSample(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         c, a, d = self.out_ch, self.act, self.dtype
         bx = self.bn_axis
-        qmode = {False: "none", True: "int8"}.get(self.quant, self.quant)
-        chain = self.quant_chain and qmode == "int8_static" and not train
+        chain = _chain_active(self.quant, self.quant_chain, train)
         if self.wpack:
             assert self.s2d_base == "stride2_w2w", self.s2d_base
             c2 = c // 2

@@ -20,13 +20,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from yolov4_tpu.models.darknet import scale_channels
-from yolov4_tpu.models.layers import (ConvBNAct, _link_quant,
+from yolov4_tpu.models.layers import (ConvBNAct, _chain_active, _link_quant,
                                       _link_quant_concat)
-
-
-def _chain_active(quant, quant_chain, train):
-    qmode = {False: "none", True: "int8"}.get(quant, quant)
-    return quant_chain and qmode == "int8_static" and not train
 
 
 def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
@@ -153,8 +148,10 @@ class FPNBlock(nn.Module):
             if i < 4:
                 f2 = _link_quant(self, f"link_m2_{i}", f2, chn)
 
-        # f2 leaves this module in bf16 (it is both conv10's input and a
-        # PAN concat member): only wrap the conv10 link tensor
+        # f2 leaves this module in bf16: it feeds both conv10 and a PAN
+        # concat, so the bf16 tensor must exist either way — a producer-
+        # side link for conv10 would cost the same standalone quantize
+        # pass conv10's own consumer-side quantize already pays
         f1 = ConvBNAct(w(128), 1, 1, dtype=d, quant=self.quant, name="conv10")(f2, train)
         f1 = upsample2x_nearest(f1)
         x3 = ConvBNAct(w(128), 1, 1, act="leaky_relu", dtype=d, quant=self.quant, name="conv11")(x3, train)
