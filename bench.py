@@ -160,10 +160,13 @@ def main(args=None):
         chunk = [sources[(i * batch + j) % len(sources)] for j in range(batch)]
         return np.stack(list(pool.map(_resize, chunk)))
 
-    # compile (uint8 variant) + warmup
-    for i in range(args.warmup):
-        det, valid = predictor.dispatch(preprocess_batch(i))
-    np.asarray(det)
+    # compile (uint8 variant) + warmup; always dispatch at least once so
+    # --warmup 0 still compiles before the throwaway window (and the sync
+    # below has a value to fetch — dispatch() may return 2 or 3 outputs
+    # depending on the relevant-count config)
+    for i in range(max(args.warmup, 1)):
+        out = predictor.dispatch(preprocess_batch(i))
+    np.asarray(out[0])
 
     # The shared-tunnel environment is noisy: measure several windows and
     # report the median (per-window rates go to stderr). Several batches

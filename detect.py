@@ -30,6 +30,7 @@ setup_jax()
 from yolov4_tpu.config import load_config
 from yolov4_tpu.data.transforms import Transform
 from yolov4_tpu.engine.predictor import Predictor
+from yolov4_tpu.ops.boxes import unmap_to_source_xyxy
 from yolov4_tpu.utils import checkpoint as ckpt_lib
 from yolov4_tpu.utils.logging import setup_logging, get_logger
 from yolov4_tpu.utils.visualize import class_name, draw_detections
@@ -102,15 +103,6 @@ def main():
         logger.warning("no --ckpt given: running with RANDOM weights")
 
     transform = Transform(cfg, is_train=False, keep_uint8=True)
-    raw_imgs, batch, infos = [], [], []
-    for p in paths:
-        img = cv2.imread(p)
-        assert img is not None, p
-        out, target = transform([img], [np.zeros((0, 5))], img_size)
-        raw_imgs.append(img)
-        batch.append(out)
-        infos.append(target["img_info"])
-
     predictor = Predictor(cfg, variables=variables, img_size=img_size,
                           batch_size=min(args.batch_size, len(paths)),
                           conf_thre=conf_thre, nms_thre=nms_thre)
@@ -118,16 +110,27 @@ def main():
     dest = increment_path(os.path.join(args.dest, "exp"))
     t0 = time.time()
     n_done = 0
+    # decode + preprocess per chunk (constant memory — a large --source
+    # directory must not hold every raw frame + canvas in RAM at once)
     for start in range(0, len(paths), predictor.batch_size):
-        chunk = np.stack(batch[start:start + predictor.batch_size])
+        chunk_paths = paths[start:start + predictor.batch_size]
+        raw_imgs, batch, infos = [], [], []
+        for p in chunk_paths:
+            img = cv2.imread(p)
+            assert img is not None, p
+            out, target = transform([img], [np.zeros((0, 5))], img_size)
+            raw_imgs.append(img)
+            batch.append(out)
+            infos.append(target["img_info"])
+        chunk = np.stack(batch)
         dets, valids = predictor(chunk)
         for i in range(chunk.shape[0]):
             idx = start + i
-            src_h, src_w, dst_h, dst_w = infos[idx][:4]
+            src_h, src_w, dst_h, dst_w = infos[i][:4]
             det, valid = dets[i], valids[i]
             det = det[valid]
-            boxes = det[:, :4] * np.array(
-                [src_w / dst_w, src_h / dst_h, src_w / dst_w, src_h / dst_h])
+            boxes = np.asarray(unmap_to_source_xyxy(
+                det[:, :4], (src_h, src_w), (dst_h, dst_w)))
             scores = det[:, 4] * det[:, 5]
             cls_idxs = det[:, 6].astype(int)
 
@@ -138,7 +141,7 @@ def main():
             logger.info(f"image {idx + 1}/{len(paths)} "
                         f"{os.path.basename(paths[idx])}: {desc}")
 
-            drawn = draw_detections(raw_imgs[idx].copy(), boxes, scores, cls_idxs)
+            drawn = draw_detections(raw_imgs[i].copy(), boxes, scores, cls_idxs)
             out_path = os.path.join(str(dest), os.path.basename(paths[idx]))
             cv2.imwrite(out_path, drawn)
             n_done += 1

@@ -125,3 +125,26 @@ def test_validate_sharded_over_mesh(fake_root):
     ap, ap50 = validate(loader, predictor, verbose=False)
     # random weights: plumbing must complete and produce finite stats
     assert np.isfinite(ap) and np.isfinite(ap50)
+
+
+def test_dedup_wrap_padding():
+    """Multi-host wrap padding (pipeline._local_indices pads the index
+    list to a multiple of process_count by wrapping) means the same image
+    can be evaluated on two processes; the gathered results must score it
+    exactly once (double GTs + duplicate-detection FPs skew AP)."""
+    from yolov4_tpu.engine.evaluator import _dedup_wrap_padding
+
+    row = lambda img, score: {"image_id": img, "category_id": 1,
+                              "bbox": [0.0, 0.0, 10.0, 10.0], "score": score}
+    # p0 evaluated images 1,2; p1 evaluated 3 and the wrap-padded copy of 1
+    per_process = [
+        ([row(1, 0.9), row(2, 0.8)], [1, 2]),
+        ([row(3, 0.7), row(1, 0.9)], [3, 1]),
+    ]
+    rows, ids = _dedup_wrap_padding(per_process)
+    assert ids == [1, 2, 3]
+    assert [r["image_id"] for r in rows] == [1, 2, 3]
+    # no-duplicate case passes through untouched
+    rows2, ids2 = _dedup_wrap_padding([([row(1, 0.9)], [1]),
+                                       ([row(2, 0.8)], [2])])
+    assert ids2 == [1, 2] and len(rows2) == 2

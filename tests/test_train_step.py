@@ -179,12 +179,19 @@ def test_skip_nonfinite_guard():
                                  skip_nonfinite=True)
     state = create_train_state(variables, tx)
     p0 = np.asarray(jax.tree.leaves(state.params)[0]).copy()
+    bs0 = [np.asarray(t).copy() for t in jax.tree.leaves(state.batch_stats)]
     state = step_guard(state, bad_imgs, labels)
     p1 = np.asarray(jax.tree.leaves(state.params)[0])
     np.testing.assert_array_equal(p0, p1)  # bad batch dropped
+    # BN running stats must also be protected: a momentum blend with the
+    # NaN batch stats would stay NaN forever and poison every later eval
+    for before, after in zip(bs0, jax.tree.leaves(state.batch_stats)):
+        np.testing.assert_array_equal(before, np.asarray(after))
     state = step_guard(state, imgs, labels)
     p2 = np.asarray(jax.tree.leaves(state.params)[0])
     assert np.isfinite(p2).all() and np.abs(p2 - p0).sum() > 0
+    assert all(np.isfinite(np.asarray(t)).all()
+               for t in jax.tree.leaves(state.batch_stats))
 
 
 def test_s2d_wire_layout_matches_nhwc():

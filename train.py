@@ -44,8 +44,10 @@ def parse_args():
     parser.add_argument("--sync_bn", action="store_true",
                         help="accepted for parity; not applied (per-replica BN)")
     parser.add_argument("--deterministic", action="store_true")
-    parser.add_argument("--channels-last", type=bool, default=True,
-                        help="accepted for parity; NHWC is native on TPU")
+    parser.add_argument("--channels-last", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="accepted for parity; NHWC is native on TPU "
+                             "(disable with --no-channels-last)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--coordinator", type=str, default=None,
                         help="host:port for multi-host jax.distributed")

@@ -14,6 +14,7 @@ import jax
 import numpy as np
 
 from yolov4_tpu.eval.cocoeval import COCOEvaluator
+from yolov4_tpu.ops.boxes import unmap_to_source_tlwh
 from yolov4_tpu.utils.logging import get_logger
 from yolov4_tpu.utils.metrics import AverageMeter
 
@@ -25,29 +26,53 @@ def detections_to_coco(det: np.ndarray, valid: np.ndarray, img_info: np.ndarray,
     """One image's fixed-shape detections -> COCO result rows.
 
     det rows are x1,y1,x2,y2,obj,cls_conf,cls in model-input pixels; boxes
-    unmap through the stretch-resize to source tlwh (reference
-    engine/build.py:146-164, utils.py:281-309)."""
-    src_h, src_w, dst_h, dst_w = img_info[:4]
+    unmap through the stretch-resize to source tlwh via the shared
+    ops/boxes helper (reference engine/build.py:146-164,
+    utils.py:281-309)."""
+    src_h, src_w, dst_h, dst_w = (float(v) for v in img_info[:4])
     img_id = int(img_info[-2])
-    rows = []
-    for r in det[valid]:
-        x1, y1, x2, y2 = r[:4]
-        bbox = [float(x1 / dst_w * src_w), float(y1 / dst_h * src_h),
-                float((x2 - x1) / dst_w * src_w), float((y2 - y1) / dst_h * src_h)]
-        rows.append({
-            "image_id": img_id,
-            "category_id": class_ids[int(r[6])],
-            "bbox": bbox,
-            "score": float(r[4] * r[5]),
-        })
-    return rows
+    d = det[valid]
+    if not d.shape[0]:
+        return []
+    bboxes = np.asarray(unmap_to_source_tlwh(
+        d[:, :4], (src_h, src_w), (dst_h, dst_w)), np.float64)
+    return [{
+        "image_id": img_id,
+        "category_id": class_ids[int(r[6])],
+        "bbox": [float(v) for v in bboxes[i]],
+        "score": float(r[4] * r[5]),
+    } for i, r in enumerate(d)]
+
+
+def _dedup_wrap_padding(per_process: List[Tuple[List[Dict], List[int]]],
+                        ) -> Tuple[List[Dict], List[int]]:
+    """Drop wrap-padded duplicate images from gathered per-process results.
+
+    The loader pads the global index list to a multiple of process_count
+    by WRAPPING (data/pipeline.py _local_indices), so when the dataset
+    size is not divisible by the process count the same image is
+    evaluated on more than one process. Scoring it twice would count its
+    ground truths twice and the duplicate detections as extra false
+    positives, silently skewing AP. The copies are byte-identical (same
+    index, same deterministic eval transform), so keep the first
+    process's copy of each image id and drop the rest."""
+    rows_out: List[Dict] = []
+    ids_out: List[int] = []
+    seen: set = set()
+    for p_rows, p_ids in per_process:
+        dup = {i for i in p_ids if i in seen}
+        ids_out.extend(i for i in p_ids if i not in seen)
+        rows_out.extend(r for r in p_rows if r["image_id"] not in dup)
+        seen.update(p_ids)
+    return rows_out, ids_out
 
 
 def _gather_rows(rows: List[Dict], ids: List[int]) -> Tuple[List[Dict], List[int]]:
     """Allgather per-process detection rows + image ids to every process
     (multi-host validation: each process evaluated its loader shard).
     Rows are packed to fixed-width float64 records and padded to the max
-    per-process count (allgather needs equal shapes)."""
+    per-process count (allgather needs equal shapes). Wrap-padded
+    duplicate images are dropped (_dedup_wrap_padding)."""
     from jax.experimental import multihost_utils
 
     packed = np.zeros((len(rows), 7), np.float64)
@@ -63,14 +88,15 @@ def _gather_rows(rows: List[Dict], ids: List[int]) -> Tuple[List[Dict], List[int
     all_rows = multihost_utils.process_allgather(packed)     # [P, max, 7]
     all_ids = multihost_utils.process_allgather(id_arr)      # [P, max]
 
-    rows_out, ids_out = [], []
+    per_process = []
     for p in range(all_rows.shape[0]):
-        for r in all_rows[p, :int(counts[p, 0])]:
-            rows_out.append({"image_id": int(r[0]), "category_id": int(r[1]),
-                             "bbox": [float(v) for v in r[2:6]],
-                             "score": float(r[6])})
-        ids_out.extend(int(v) for v in all_ids[p, :int(counts[p, 1])])
-    return rows_out, ids_out
+        p_rows = [{"image_id": int(r[0]), "category_id": int(r[1]),
+                   "bbox": [float(v) for v in r[2:6]],
+                   "score": float(r[6])}
+                  for r in all_rows[p, :int(counts[p, 0])]]
+        p_ids = [int(v) for v in all_ids[p, :int(counts[p, 1])]]
+        per_process.append((p_rows, p_ids))
+    return _dedup_wrap_padding(per_process)
 
 
 def validate(val_loader, predictor, conf_threshold: Optional[float] = None,

@@ -48,20 +48,11 @@ def cxcywh_to_xyxy(boxes: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([x1y1, x2y2], axis=-1)
 
 
-def iou_pairwise(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray, fmt: str = "xyxy") -> jnp.ndarray:
-    """Pairwise IoU between two box sets.
-
-    Args:
-      boxes_a: [..., N, 4]
-      boxes_b: [..., K, 4]
-      fmt: 'xyxy' or 'cxcywh' (matching reference bboxes_iou xyxy=True/False).
-
-    Returns:
-      [..., N, K] IoU matrix. An intersection only counts when top-left is
-      strictly less than bottom-right in BOTH axes (reference
-      yololoss.py:77, ``en = (tl < br).prod``). Degenerate unions divide by
-      zero exactly as in the reference (callers mask invalid rows).
-    """
+def _iou_pairwise_impl(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray, fmt: str,
+                       eps: float) -> jnp.ndarray:
+    """Shared body of :func:`iou_pairwise` / :func:`iou_pairwise_safe` —
+    they differ only in the final denominator guard (``eps`` 0 disables
+    it, keeping the reference's exact divide-by-zero semantics)."""
     if fmt == "xyxy":
         a_tl, a_br = boxes_a[..., :2], boxes_a[..., 2:4]
         b_tl, b_br = boxes_b[..., :2], boxes_b[..., 2:4]
@@ -82,34 +73,33 @@ def iou_pairwise(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray, fmt: str = "xyxy") 
     valid = jnp.prod((tl < br).astype(boxes_a.dtype), axis=-1)
     inter = jnp.prod(br - tl, axis=-1) * valid
     union = area_a[..., :, None] + area_b[..., None, :] - inter
+    if eps:
+        union = jnp.maximum(union, eps)
     return inter / union
+
+
+def iou_pairwise(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray, fmt: str = "xyxy") -> jnp.ndarray:
+    """Pairwise IoU between two box sets.
+
+    Args:
+      boxes_a: [..., N, 4]
+      boxes_b: [..., K, 4]
+      fmt: 'xyxy' or 'cxcywh' (matching reference bboxes_iou xyxy=True/False).
+
+    Returns:
+      [..., N, K] IoU matrix. An intersection only counts when top-left is
+      strictly less than bottom-right in BOTH axes (reference
+      yololoss.py:77, ``en = (tl < br).prod``). Degenerate unions divide by
+      zero exactly as in the reference (callers mask invalid rows).
+    """
+    return _iou_pairwise_impl(boxes_a, boxes_b, fmt, 0.0)
 
 
 def iou_pairwise_safe(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray, fmt: str = "xyxy",
                       eps: float = 1e-9) -> jnp.ndarray:
     """Like :func:`iou_pairwise` but with a guarded denominator (no NaN for
     degenerate/padded boxes). Use anywhere the caller does not mask."""
-    if fmt == "xyxy":
-        a_tl, a_br = boxes_a[..., :2], boxes_a[..., 2:4]
-        b_tl, b_br = boxes_b[..., :2], boxes_b[..., 2:4]
-        area_a = jnp.prod(a_br - a_tl, axis=-1)
-        area_b = jnp.prod(b_br - b_tl, axis=-1)
-    elif fmt == "cxcywh":
-        a_tl = boxes_a[..., :2] - boxes_a[..., 2:4] / 2
-        a_br = boxes_a[..., :2] + boxes_a[..., 2:4] / 2
-        b_tl = boxes_b[..., :2] - boxes_b[..., 2:4] / 2
-        b_br = boxes_b[..., :2] + boxes_b[..., 2:4] / 2
-        area_a = jnp.prod(boxes_a[..., 2:4], axis=-1)
-        area_b = jnp.prod(boxes_b[..., 2:4], axis=-1)
-    else:
-        raise ValueError(f"unknown box format: {fmt}")
-
-    tl = jnp.maximum(a_tl[..., :, None, :], b_tl[..., None, :, :])
-    br = jnp.minimum(a_br[..., :, None, :], b_br[..., None, :, :])
-    valid = jnp.prod((tl < br).astype(boxes_a.dtype), axis=-1)
-    inter = jnp.prod(br - tl, axis=-1) * valid
-    union = area_a[..., :, None] + area_b[..., None, :] - inter
-    return inter / jnp.maximum(union, eps)
+    return _iou_pairwise_impl(boxes_a, boxes_b, fmt, eps)
 
 
 def unmap_to_source_tlwh(boxes_xyxy: jnp.ndarray, src_hw, dst_hw) -> jnp.ndarray:

@@ -144,6 +144,13 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
             accum = jax.tree.map(
                 lambda a, prev: jnp.where(finite, a, prev),
                 accum, state.accum_grads)
+            # BN running stats come from the same non-finite activations:
+            # keep the previous stats too, or a momentum blend with NaN
+            # stays NaN forever and every later eval (train=False uses
+            # running stats) collapses even though params were protected
+            new_batch_stats = jax.tree.map(
+                lambda n, o: jnp.where(finite, n, o),
+                new_batch_stats, state.batch_stats)
         lr = lr_schedule(state.step)
 
         def do_update(operand):
