@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Detection serving CLI: dynamic-batching HTTP server on the compiled
+TPU serving program.
+
+Usage:
+    python serve.py --cfg configs/yolov4_Tianxiaomo.cfg \
+        --ckpt outputs/model_best.ckpt [--port 8000] [--sizes 608,416] \
+        [--batch-size 16] [--max-wait-ms 8] [--quant int8_static] \
+        [--conf-thre 0.25] [--nms-thre 0.45]
+
+    curl -s -X POST --data-binary @bus.jpg \
+        'http://127.0.0.1:8000/v1/detect?size=608'
+
+No reference equivalent (deployment there is the per-image detect.py CLI);
+see yolov4_tpu/serve/ for the runtime design. Checkpoints may be native
+.ckpt or the reference's torch .pth.tar (auto-converted).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from yolov4_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
+
+from yolov4_tpu.config import load_config
+from yolov4_tpu.serve import ServingRuntime, make_server
+from yolov4_tpu.utils import checkpoint as ckpt_lib
+from yolov4_tpu.utils.logging import setup_logging, get_logger
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="TPU YOLOv4 serving.")
+    parser.add_argument("--cfg", type=str,
+                        default="configs/yolov4_default.cfg")
+    parser.add_argument("--ckpt", type=str, default=None,
+                        help="checkpoint (.ckpt or reference .pth.tar)")
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--sizes", type=str, default=None,
+                        help="comma-separated input-size buckets, first is "
+                             "the default (default: cfg TEST.IMGSIZE)")
+    parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--max-wait-ms", type=float, default=8.0,
+                        help="max time a request waits for batchmates")
+    parser.add_argument("--inflight", type=int, default=3,
+                        help="dispatched-but-unfetched batch window")
+    parser.add_argument("--request-timeout-s", type=float, default=120.0,
+                        help="per-request server-side completion deadline")
+    parser.add_argument("--conf-thre", type=float, default=0.25,
+                        help="bucket detection threshold (requests may "
+                             "raise it per call via ?conf=)")
+    parser.add_argument("--nms-thre", type=float, default=-0.1)
+    parser.add_argument("--quant", choices=("none", "int8", "int8_static"),
+                        default=None,
+                        help="serving quantization (int8* faster, not "
+                             "reference-exact)")
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    setup_logging(0)
+    logger = get_logger(__name__)
+    cfg = load_config(args.cfg)
+    if args.quant is not None:
+        cfg["MODEL"]["QUANT"] = args.quant
+    nms_thre = cfg["TEST"]["NMSTHRE"] if args.nms_thre < 0 else args.nms_thre
+    sizes = ([int(s) for s in args.sizes.split(",")] if args.sizes
+             else [cfg["TEST"]["IMGSIZE"]])
+
+    variables = None
+    if args.ckpt:
+        variables = ckpt_lib.load_variables(args.ckpt)
+        logger.info(f"loaded checkpoint {args.ckpt}")
+    else:
+        logger.warning("no --ckpt given: serving RANDOM weights")
+
+    runtime = ServingRuntime(
+        cfg, variables=variables, sizes=sizes, batch_size=args.batch_size,
+        max_wait_ms=args.max_wait_ms, inflight=args.inflight,
+        conf_thre=args.conf_thre, nms_thre=nms_thre,
+        request_timeout_s=args.request_timeout_s)
+    logger.info(f"warming {len(sizes)} bucket(s) {sizes} at batch "
+                f"{args.batch_size} (first compile of a new shape can take "
+                f"minutes; cached shapes are seconds)...")
+    runtime.start(warmup=True)
+
+    srv = make_server(runtime, host=args.host, port=args.port)
+    logger.info(f"serving on http://{args.host}:{srv.server_address[1]} — "
+                f"POST /v1/detect, GET /healthz /metrics /stats /v1/config")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        logger.info("shutting down")
+    finally:
+        srv.shutdown()
+        runtime.close()
+
+
+if __name__ == "__main__":
+    main()

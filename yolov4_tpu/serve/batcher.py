@@ -1,0 +1,247 @@
+"""Dynamic batcher: concurrent detect requests -> static-shape TPU batches.
+
+The compiled serving program has ONE static shape (the XLA contract), but
+production traffic arrives one image at a time. This module bridges the two
+the TPU-native way:
+
+  * requests queue up and are packed into the Predictor's compiled
+    [batch_size, S, S, 3] shape — a batch launches when it is full or when
+    the oldest request has waited ``max_wait_ms`` (latency bound);
+  * short batches ride the same program (the Predictor zero-pads; padding
+    rows cost device time but never a recompile);
+  * dispatch is ASYNC with a bounded in-flight window, so host packing /
+    result unmapping / the next batch's assembly overlap device execution —
+    the same depth-pipelining the eval loop uses (engine/evaluator.py);
+  * results resolve per-request futures with boxes unmapped to each
+    request's ORIGINAL image coordinates.
+
+The reference has no equivalent (its detect.py:103-122 is a synchronous
+per-image python loop); this is the serving runtime a deployment wraps a
+checkpoint in.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from yolov4_tpu.ops.boxes import unmap_to_source_xyxy
+from yolov4_tpu.serve.metrics import ServeMetrics
+from yolov4_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+@dataclass
+class DetectionResult:
+    """Per-request detections in SOURCE-image pixel coordinates."""
+    boxes: np.ndarray        # [N, 4] float32 x1,y1,x2,y2 (source pixels)
+    scores: np.ndarray       # [N] float32 = obj_conf * cls_conf
+    class_ids: np.ndarray    # [N] int32 (0..79 model class indices)
+    img_size: int            # model input size this request ran at
+    timings_ms: Dict[str, float] = field(default_factory=dict)
+
+
+@dataclass
+class _Request:
+    canvas: np.ndarray              # [S, S, 3] uint8 (stretch-resized RGB)
+    img_info: Tuple[float, float, float, float]  # src_h, src_w, dst_h, dst_w
+    future: Future
+    conf_thre: Optional[float]      # post-NMS score filter (see submit())
+    t_enqueue: float = 0.0
+    t_assembled: float = 0.0
+
+
+class DynamicBatcher:
+    """Owns one compiled Predictor (= one (size, batch, quant) bucket) and
+    two daemon threads: an assembler that groups queued requests into
+    batches and dispatches them, and a fetcher that blocks on device
+    results and resolves futures. ``inflight`` bounds how many dispatched
+    batches may be unfetched at once (backpressure toward the queue)."""
+
+    def __init__(self, predictor, max_wait_ms: float = 8.0,
+                 inflight: int = 3, max_queue: int = 256,
+                 metrics: Optional[ServeMetrics] = None,
+                 name: str = ""):
+        self.predictor = predictor
+        self.img_size = predictor.img_size
+        self.batch_size = predictor.batch_size
+        self.max_wait_s = max_wait_ms / 1000.0
+        self.metrics = metrics or ServeMetrics()
+        self.name = name or f"bucket{self.img_size}"
+        self._queue: "queue.Queue[_Request]" = queue.Queue(maxsize=max_queue)
+        self._inflight: "queue.Queue" = queue.Queue(maxsize=inflight)
+        self._stop = threading.Event()
+        self._assembler = threading.Thread(
+            target=self._assemble_loop, name=f"{self.name}-assemble",
+            daemon=True)
+        self._fetcher = threading.Thread(
+            target=self._fetch_loop, name=f"{self.name}-fetch", daemon=True)
+        self._started = False
+        self._lock = threading.Lock()
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self, warmup: bool = True) -> "DynamicBatcher":
+        with self._lock:
+            if self._started:
+                return self
+            if warmup:
+                self.predictor.warmup(dtype=np.uint8)
+            self._assembler.start()
+            self._fetcher.start()
+            self._started = True
+        return self
+
+    def close(self, timeout: float = 10.0) -> None:
+        self._stop.set()
+        if self._started:
+            self._assembler.join(timeout)
+            self._fetcher.join(timeout)
+        # fail anything still queued so callers never hang on a dead server
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            req.future.set_exception(RuntimeError("batcher shut down"))
+
+    # -- request path ------------------------------------------------------
+
+    def submit_canvas(self, canvas: np.ndarray,
+                      img_info: Sequence[float],
+                      conf_thre: Optional[float] = None,
+                      timeout: Optional[float] = 2.0) -> Future:
+        """Queue one preprocessed request. canvas: [S, S, 3] uint8 RGB
+        (the val-transform stretch-resize output); img_info: (src_h, src_w,
+        dst_h, dst_w) for coordinate unmapping.
+
+        ``conf_thre`` is a POST-NMS score filter: the compiled program runs
+        every batch at the bucket's own threshold (one traced scalar per
+        dispatch — requests share the batch), so results are
+        reference-exact at the bucket threshold and a stricter per-request
+        threshold drops score-sorted rows host-side. Requests cannot LOWER
+        the threshold below the bucket's.
+
+        Returns a Future resolving to DetectionResult. Raises queue.Full
+        after ``timeout`` when the server is saturated (backpressure)."""
+        if canvas.shape != (self.img_size, self.img_size, 3):
+            raise ValueError(
+                f"canvas {canvas.shape} != bucket ({self.img_size}, "
+                f"{self.img_size}, 3)")
+        if canvas.dtype != np.uint8:
+            raise ValueError(f"canvas dtype {canvas.dtype} != uint8")
+        if conf_thre is not None and conf_thre < self.predictor.conf_thre:
+            raise ValueError(
+                f"request conf_thre {conf_thre} below bucket threshold "
+                f"{self.predictor.conf_thre}")
+        if self._stop.is_set():
+            raise RuntimeError("batcher shut down")
+        req = _Request(canvas=canvas, img_info=tuple(img_info),
+                       future=Future(), conf_thre=conf_thre,
+                       t_enqueue=time.perf_counter())
+        self._queue.put(req, timeout=timeout)
+        self.metrics.count("requests_total")
+        return req.future
+
+    # -- internals ---------------------------------------------------------
+
+    def _assemble_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.perf_counter() + self.max_wait_s
+            while len(batch) < self.batch_size:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            now = time.perf_counter()
+            for r in batch:
+                r.t_assembled = now
+            try:
+                canvases = np.stack([r.canvas for r in batch])
+                out = self.predictor.dispatch(canvases)  # async on device
+            except Exception as exc:  # dispatch itself failed
+                logger.exception(f"{self.name}: dispatch failed")
+                self.metrics.count("errors_total", len(batch))
+                for r in batch:
+                    r.future.set_exception(exc)
+                continue
+            # bounded: blocks when `inflight` batches are already on device
+            placed = False
+            while not self._stop.is_set():
+                try:
+                    self._inflight.put((batch, out, now), timeout=0.25)
+                    placed = True
+                    break
+                except queue.Full:
+                    continue
+            if not placed:  # shut down mid-handoff: nobody will fetch these
+                for r in batch:
+                    r.future.set_exception(RuntimeError("batcher shut down"))
+
+    def _fetch_loop(self) -> None:
+        while not (self._stop.is_set() and self._inflight.empty()):
+            try:
+                batch, out, t_dispatch = self._inflight.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            try:
+                dets = self.predictor.fetch_local(out[0])
+                valid = self.predictor.fetch_local(out[1])
+            except Exception as exc:
+                self.metrics.count("errors_total", len(batch))
+                for r in batch:
+                    r.future.set_exception(exc)
+                continue
+            t_done = time.perf_counter()
+            self.metrics.count("batches_total")
+            self.metrics.count("batch_rows_total", len(batch))
+            self.metrics.observe("batch_ms", (t_done - t_dispatch) * 1e3)
+            self.metrics.observe("batch_fill", len(batch) / self.batch_size)
+            for i, req in enumerate(batch):
+                try:
+                    req.future.set_result(
+                        self._resolve(req, dets[i], valid[i], t_done))
+                except Exception as exc:
+                    self.metrics.count("errors_total")
+                    req.future.set_exception(exc)
+
+    def _resolve(self, req: _Request, det: np.ndarray, valid: np.ndarray,
+                 t_done: float) -> DetectionResult:
+        d = det[valid]
+        scores = d[:, 4] * d[:, 5]
+        if req.conf_thre is not None:
+            keep = scores >= req.conf_thre
+            d, scores = d[keep], scores[keep]
+        src_h, src_w, dst_h, dst_w = req.img_info
+        boxes = (np.asarray(unmap_to_source_xyxy(
+                     d[:, :4], (src_h, src_w), (dst_h, dst_w)),
+                     np.float32)
+                 if d.shape[0] else np.zeros((0, 4), np.float32))
+        e2e_ms = (t_done - req.t_enqueue) * 1e3
+        queue_ms = (req.t_assembled - req.t_enqueue) * 1e3
+        self.metrics.observe("e2e_ms", e2e_ms)
+        self.metrics.observe("queue_ms", queue_ms)
+        self.metrics.count("detections_total", int(d.shape[0]))
+        return DetectionResult(
+            boxes=boxes, scores=scores.astype(np.float32),
+            class_ids=d[:, 6].astype(np.int32), img_size=self.img_size,
+            timings_ms={"e2e": e2e_ms, "queue": queue_ms})
+
+    def stats(self) -> Dict[str, float]:
+        return {"queue_depth": self._queue.qsize(),
+                "inflight_batches": self._inflight.qsize()}
