@@ -54,6 +54,8 @@ def parse_args():
     p.add_argument("--http", action="store_true",
                    help="additionally drive requests over a real socket")
     p.add_argument("--warmup-batches", type=int, default=4)
+    p.add_argument("--windows", type=int, default=4,
+                   help="interleaved direct/runtime A-B windows")
     return p.parse_args()
 
 
@@ -150,15 +152,31 @@ def main():
         out = pred.dispatch(warm)
     np.asarray(out[0])
 
-    direct = bench_direct(pred, images, args.inflight)
-    runtime = bench_runtime(rt, images, args.concurrency, size)
+    # INTERLEAVED paired windows: the tunnel drifts 2-4x between minutes,
+    # so sequential A-then-B comparisons lie (docs/PERF.md); pair each
+    # direct window with a runtime window on the same images and report
+    # the median of per-window ratios.
+    windows = max(2, args.windows)
+    chunk = max(args.batch_size, args.n // windows
+                // args.batch_size * args.batch_size)
+    directs, runtimes, ratios = [], [], []
+    for w in range(windows):
+        imgs_w = images[(w * chunk) % max(1, args.n - chunk):][:chunk]
+        d = bench_direct(pred, imgs_w, args.inflight)
+        r = bench_runtime(rt, imgs_w, args.concurrency, size)
+        directs.append(d), runtimes.append(r)
+        ratios.append(r["img_s"] / d["img_s"])
+    mid = sorted(range(windows), key=lambda i: ratios[i])[windows // 2]
+    direct, runtime = directs[mid], runtimes[mid]
     result = {
         "metric": "serve_runtime_img_s", "size": size,
         "batch_size": args.batch_size, "n": args.n,
         "concurrency": args.concurrency, "quant":
             cfg["MODEL"].get("QUANT", "none"),
         "direct": direct, "runtime": runtime,
-        "runtime_vs_direct": round(runtime["img_s"] / direct["img_s"], 3),
+        "direct_img_s_windows": [d["img_s"] for d in directs],
+        "runtime_img_s_windows": [r["img_s"] for r in runtimes],
+        "runtime_vs_direct": round(sorted(ratios)[windows // 2], 3),
     }
     if args.http:
         result["http"] = bench_http(rt, images, args.concurrency, size)

@@ -17,6 +17,7 @@ Formats:
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def tlwh_to_xyxy(boxes: jnp.ndarray) -> jnp.ndarray:
@@ -102,31 +103,39 @@ def iou_pairwise_safe(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray, fmt: str = "xy
     return _iou_pairwise_impl(boxes_a, boxes_b, fmt, eps)
 
 
-def unmap_to_source_tlwh(boxes_xyxy: jnp.ndarray, src_hw, dst_hw) -> jnp.ndarray:
+def unmap_to_source_tlwh(boxes_xyxy, src_hw, dst_hw) -> np.ndarray:
     """xyxy boxes in the (stretch-)resized image -> COCO tlwh in the source
     image (reference utils.py:281-309 ``yolobox2xywh``).
+
+    Pure NUMPY on purpose: every caller (evaluator, detect CLI, serving
+    batcher) runs this host-side on fetched detections — a jnp version
+    dispatches a tiny op to the accelerator per call, which on a tunneled
+    TPU costs a full round trip per image/request.
 
     Args:
       boxes_xyxy: [..., 4]
       src_hw: (src_h, src_w) broadcastable scalars or [..., 1] arrays
       dst_hw: (dst_h, dst_w)
     """
+    boxes_xyxy = np.asarray(boxes_xyxy)
     src_h, src_w = src_hw
     dst_h, dst_w = dst_hw
     x1 = boxes_xyxy[..., 0] / dst_w * src_w
     y1 = boxes_xyxy[..., 1] / dst_h * src_h
     w = (boxes_xyxy[..., 2] - boxes_xyxy[..., 0]) / dst_w * src_w
     h = (boxes_xyxy[..., 3] - boxes_xyxy[..., 1]) / dst_h * src_h
-    return jnp.stack([x1, y1, w, h], axis=-1)
+    return np.stack([x1, y1, w, h], axis=-1)
 
 
-def unmap_to_source_xyxy(boxes_xyxy: jnp.ndarray, src_hw, dst_hw) -> jnp.ndarray:
+def unmap_to_source_xyxy(boxes_xyxy, src_hw, dst_hw) -> np.ndarray:
     """xyxy boxes in the resized image -> xyxy in the source image
-    (reference utils.py:312-340 ``yolobox2yxyx``, reordered to xyxy)."""
+    (reference utils.py:312-340 ``yolobox2yxyx``, reordered to xyxy).
+    Pure numpy — see :func:`unmap_to_source_tlwh`."""
+    boxes_xyxy = np.asarray(boxes_xyxy)
     src_h, src_w = src_hw
     dst_h, dst_w = dst_hw
     x1 = boxes_xyxy[..., 0] * src_w / dst_w
     y1 = boxes_xyxy[..., 1] * src_h / dst_h
     x2 = boxes_xyxy[..., 2] * src_w / dst_w
     y2 = boxes_xyxy[..., 3] * src_h / dst_h
-    return jnp.stack([x1, y1, x2, y2], axis=-1)
+    return np.stack([x1, y1, x2, y2], axis=-1)

@@ -160,14 +160,23 @@ class DynamicBatcher:
                 continue
             batch = [first]
             deadline = time.perf_counter() + self.max_wait_s
-            while len(batch) < self.batch_size:
+            while len(batch) < self.batch_size and not self._stop.is_set():
+                # adaptive deadline: while the in-flight window is full the
+                # device pipeline is saturated — waiting for batchmates
+                # costs NO latency (the dispatch would only queue behind
+                # it), so keep collecting past the deadline until a slot
+                # frees. A half-full batch pays the full padded upload +
+                # device pass; fill matters more than eagerness under load.
+                device_busy = self._inflight.full()
                 remaining = deadline - time.perf_counter()
-                if remaining <= 0:
+                if remaining <= 0 and not device_busy:
                     break
                 try:
-                    batch.append(self._queue.get(timeout=remaining))
+                    batch.append(self._queue.get(
+                        timeout=0.05 if device_busy else max(remaining, 1e-3)))
                 except queue.Empty:
-                    break
+                    if not device_busy:
+                        break
             now = time.perf_counter()
             for r in batch:
                 r.t_assembled = now

@@ -208,14 +208,19 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
 
 
+class _Server(ThreadingHTTPServer):
+    daemon_threads = True
+    # the stdlib default listen backlog (5) drops connections under a
+    # burst of concurrent clients — raise it to serving-appropriate depth
+    request_queue_size = 128
+
+
 def make_server(runtime: ServingRuntime, host: str = "127.0.0.1",
                 port: int = 0) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; ``port=0`` binds an ephemeral
     port (tests). Call .serve_forever() or serve_background()."""
     handler = type("BoundHandler", (_Handler,), {"runtime": runtime})
-    srv = ThreadingHTTPServer((host, port), handler)
-    srv.daemon_threads = True
-    return srv
+    return _Server((host, port), handler)
 
 
 def serve_background(srv: ThreadingHTTPServer) -> threading.Thread:
