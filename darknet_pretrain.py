@@ -44,6 +44,11 @@ def parse_args():
     parser.add_argument("--output-dir", type=str,
                         default="./outputs/cspdarknet53")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--transfer-layout", type=str, default="s2d",
+                        choices=["s2d", "planar", "nhwc"],
+                        help="host->device image wire format (flat s2d/"
+                             "planar packing avoids the NHWC lane-pad "
+                             "transfer tax; nhwc = debug)")
     return parser.parse_args()
 
 
@@ -63,7 +68,8 @@ def main():
         workers=args.workers, crop_size=args.crop_size, val_size=args.val_size,
         num_classes=args.num_classes, output_dir=args.output_dir,
         print_freq=args.print_freq, resume=args.resume, compute_dtype=dtype,
-        seed=args.seed, sync_bn=args.sync_bn)
+        seed=args.seed, sync_bn=args.sync_bn,
+        transfer_layout=args.transfer_layout)
     return trainer.fit(evaluate_only=args.evaluate)
 
 

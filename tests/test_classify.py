@@ -99,3 +99,69 @@ def test_smoothed_ce_value():
     logp = np.log(np.exp([10.0, -10.0]) / np.exp([10.0, -10.0]).sum())
     want = -(0.95 * logp[0] + 0.05 * logp[1])
     assert loss == pytest.approx(want, rel=1e-5)
+
+
+@pytest.fixture(scope="module")
+def trainer_root(tmp_path_factory):
+    """Enough images that an 8-virtual-device local batch survives
+    drop_last (the trainer's local batch is batch_size * n_local_devices)."""
+    root = str(tmp_path_factory.mktemp("imagenet_big"))
+    rng = np.random.default_rng(1)
+    for split, n in [("train", 10), ("val", 5)]:
+        for cls in ("alpha", "beta"):
+            d = os.path.join(root, split, cls)
+            os.makedirs(d)
+            for i in range(n):
+                Image.fromarray(
+                    rng.integers(0, 255, (48, 56, 3), np.uint8)).save(
+                        os.path.join(d, f"{i}.jpg"))
+    return root
+
+
+def test_trainer_wire_layouts_equivalent(trainer_root):
+    """The flat wire transfer (s2d / planar packing, decode_cls_wire) is a
+    pure transport change: one train step and one validation pass must
+    produce identical numbers in every layout. (The s2d wire feeds the
+    fused stem via input_s2d — byte reorder on host, zero relayout ops on
+    device; the NHWC path packs the same values in-program.)"""
+    from yolov4_tpu.classify.trainer import ClassifierTrainer
+
+    results = {}
+    for layout in ("nhwc", "planar", "s2d"):
+        tr = ClassifierTrainer(
+            trainer_root, batch_size=1, epochs=1, workers=0, crop_size=32,
+            val_size=40, num_classes=2, seed=3, width=0.25, depth=0.25,
+            output_dir="/tmp/cls_out_test", transfer_layout=layout)
+        assert tr.layout == layout
+        tr.train_loader.set_epoch(0)
+        imgs, target = next(iter(tr.train_loader))
+        u8, labels = tr._put(imgs, target["label"])
+        state = tr.train_step(tr.state, u8, labels)
+        tr.state = state
+        results[layout] = (float(state.loss), tr.validate())
+    base = results["nhwc"]
+    for layout in ("planar", "s2d"):
+        assert results[layout][0] == pytest.approx(base[0], rel=1e-6), layout
+        assert results[layout][1] == base[1], layout
+
+
+def test_pack_decode_wire_roundtrip():
+    """decode_cls_wire(pack_cls_wire(x)) reproduces the NHWC normalize
+    exactly for every layout (values and positions)."""
+    import jax.numpy as jnp
+    from yolov4_tpu.classify.trainer import (decode_cls_wire,
+                                             normalize_images, pack_cls_wire)
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (2, 8, 8, 3), np.uint8)
+    want = np.asarray(normalize_images(jnp.asarray(imgs)))
+    for layout in ("nhwc", "planar"):
+        flat = pack_cls_wire(imgs, layout)
+        got = np.asarray(decode_cls_wire(jnp.asarray(flat), 8, layout))
+        np.testing.assert_array_equal(got, want)
+    # s2d stays in the stem layout: undo the space-to-depth to compare
+    flat = pack_cls_wire(imgs, "s2d")
+    got = np.asarray(decode_cls_wire(jnp.asarray(flat), 8, "s2d"))
+    got = got.reshape(2, 4, 4, 2, 2, 3).transpose(0, 1, 3, 2, 4, 5)
+    got = got.reshape(2, 8, 8, 3)
+    np.testing.assert_array_equal(got, want)

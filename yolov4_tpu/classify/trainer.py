@@ -55,6 +55,41 @@ def normalize_images(u8: jnp.ndarray) -> jnp.ndarray:
     return (u8.astype(jnp.float32) - mean) / std
 
 
+def pack_cls_wire(imgs: np.ndarray, layout: str) -> np.ndarray:
+    """Host side of the flat wire: uint8 NHWC [B, S, S, 3] -> [B, 3*S*S].
+
+    An NHWC device transfer with trailing dim 3 lane-pads 3->128 (a ~40x
+    byte tax, docs/PERF.md); the detection path ships flat buffers packed
+    in the consuming program's own layout and the classifier does the
+    same. "s2d" packs the fused space-to-depth stem's input order
+    (native C kernel), "planar" packs NCHW (device transposes), "nhwc"
+    ships the raw array (debug/fallback only)."""
+    if layout == "nhwc":
+        return imgs
+    from yolov4_tpu import native
+    b = imgs.shape[0]
+    packed = (native.pack_s2d_u8(imgs) if layout == "s2d"
+              else native.pack_planar_u8(imgs))
+    return packed.reshape(b, -1)
+
+
+def decode_cls_wire(flat: jnp.ndarray, size: int, layout: str) -> jnp.ndarray:
+    """Device side: flat wire bytes -> ImageNet-normalized float input in
+    the layout the backbone consumes. For "s2d" the tensor STAYS in the
+    stem's [B, S/2, S/2, 12] layout (channel (dy*2+dx)*3+c, so mean/std
+    tile 4x) and the caller passes input_s2d=True; no relayout copies
+    ever run on device."""
+    mean, std = jnp.asarray(IMAGENET_MEAN), jnp.asarray(IMAGENET_STD)
+    if layout == "s2d":
+        x = flat.reshape(-1, size // 2, size // 2, 12)
+        mean, std = jnp.tile(mean, 4), jnp.tile(std, 4)
+    elif layout == "planar":
+        x = jnp.transpose(flat.reshape(-1, 3, size, size), (0, 2, 3, 1))
+    else:
+        x = flat
+    return (x.astype(jnp.float32) - mean) / std
+
+
 def smoothed_ce(logits: jnp.ndarray, labels: jnp.ndarray,
                 num_classes: int, smoothing: float = 0.1) -> jnp.ndarray:
     target = optax.smooth_labels(
@@ -63,7 +98,8 @@ def smoothed_ce(logits: jnp.ndarray, labels: jnp.ndarray,
                                                 target))
 
 
-def make_cls_train_step(model, tx, lr_schedule, mesh, num_classes: int):
+def make_cls_train_step(model, tx, lr_schedule, mesh, num_classes: int,
+                        size: int, layout: str = "nhwc"):
     from yolov4_tpu.parallel.train_step import wrap_step
 
     multi = mesh.devices.size > 1
@@ -73,7 +109,8 @@ def make_cls_train_step(model, tx, lr_schedule, mesh, num_classes: int):
         def loss_fn(params):
             logits, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                normalize_images(u8), train=True, mutable=["batch_stats"])
+                decode_cls_wire(u8, size, layout), train=True,
+                input_s2d=layout == "s2d", mutable=["batch_stats"])
             return smoothed_ce(logits, labels, num_classes), mutated["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -93,10 +130,11 @@ def make_cls_train_step(model, tx, lr_schedule, mesh, num_classes: int):
     return wrap_step(shard_body, mesh)
 
 
-def make_eval_step(model):
+def make_eval_step(model, size: int, layout: str = "nhwc"):
     @jax.jit
     def eval_step(variables, u8, labels):
-        logits = model.apply(variables, normalize_images(u8), train=False)
+        logits = model.apply(variables, decode_cls_wire(u8, size, layout),
+                             train=False, input_s2d=layout == "s2d")
         top5 = jnp.argsort(-logits, axis=-1)[:, :5]
         correct1 = (top5[:, 0] == labels)
         correct5 = jnp.any(top5 == labels[:, None], axis=-1)
@@ -112,7 +150,8 @@ class ClassifierTrainer:
                  output_dir: str = "./outputs/cspdarknet53",
                  print_freq: int = 10, resume: Optional[str] = None,
                  compute_dtype=jnp.bfloat16, seed: int = 0,
-                 sync_bn: bool = False):
+                 sync_bn: bool = False, transfer_layout: str = "s2d",
+                 width: float = 1.0, depth: float = 1.0):
         from yolov4_tpu.classify.data import ImageFolderDataset
         from yolov4_tpu.data.pipeline import DataLoader
 
@@ -146,8 +185,15 @@ class ClassifierTrainer:
         use_sync = sync_bn and self.mesh.devices.size > 1
         if sync_bn and not use_sync:
             logger.warning("--sync_bn requested on a 1-device mesh: no-op")
+        # flat wire transfers (see pack_cls_wire); the s2d layout needs the
+        # fused stem, which needs even spatial dims
+        self.layout = transfer_layout
+        if self.layout == "s2d" and crop_size % 2:
+            self.layout = "planar"
+        self.crop_size = crop_size
         self.model = CSPDarknet53(num_classes=num_classes, dtype=compute_dtype,
-                                  bn_axis=DATA_AXIS if use_sync else None)
+                                  bn_axis=DATA_AXIS if use_sync else None,
+                                  width=width, depth=depth)
         init = jax.jit(lambda r, d: self.model.init({"params": r}, d, train=False))
         variables = init(jax.random.PRNGKey(seed),
                          jnp.zeros((1, crop_size, crop_size, 3), jnp.float32))
@@ -157,8 +203,10 @@ class ClassifierTrainer:
         self.lr_schedule = classifier_lr_schedule(
             self.base_lr, len(self.train_loader))
         self.train_step = make_cls_train_step(
-            self.model, self.tx, self.lr_schedule, self.mesh, num_classes)
-        self.eval_step = make_eval_step(self.model)
+            self.model, self.tx, self.lr_schedule, self.mesh, num_classes,
+            size=crop_size, layout=self.layout)
+        self.eval_step = make_eval_step(self.model, size=crop_size,
+                                        layout=self.layout)
         self.state = create_train_state(
             {"params": variables["params"],
              "batch_stats": variables["batch_stats"]}, self.tx)
@@ -184,7 +232,8 @@ class ClassifierTrainer:
                         f"best_prec1 {self.best_prec1:.3f}")
 
     def _put(self, imgs, labels):
-        imgs = jax.make_array_from_process_local_data(self.sharding, imgs)
+        imgs = jax.make_array_from_process_local_data(
+            self.sharding, pack_cls_wire(imgs, self.layout))
         labels = jax.make_array_from_process_local_data(
             self.sharding, labels.astype(np.int32))
         return imgs, labels
@@ -213,8 +262,9 @@ class ClassifierTrainer:
                      "batch_stats": self.state.batch_stats}
         n1 = n5 = total = 0
         for imgs, target in self.val_loader:
-            c1, c5 = self.eval_step(variables, jnp.asarray(imgs),
-                                    jnp.asarray(target["label"].astype(np.int32)))
+            c1, c5 = self.eval_step(
+                variables, jnp.asarray(pack_cls_wire(imgs, self.layout)),
+                jnp.asarray(target["label"].astype(np.int32)))
             mask = target["batch_mask"]
             n1 += int(np.asarray(c1)[mask].sum())
             n5 += int(np.asarray(c5)[mask].sum())

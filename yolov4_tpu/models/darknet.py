@@ -196,16 +196,29 @@ class Backbone(nn.Module):
 
 class CSPDarknet53(nn.Module):
     """ImageNet classifier: backbone + global average pool + linear
-    (reference darknet.py:164-193)."""
+    (reference darknet.py:164-193).
+
+    The backbone's TPU lowerings (fused s2d stem, lane packing) apply to
+    the pretrainer exactly as to the detector — same modules, same
+    checkpoint-compatible trace-time kernel rearrangements — so the
+    backbone weights this app produces train at the optimized step cost
+    and load unchanged into YOLOv4 (BACKBONE_PRETRAINED)."""
 
     num_classes: int = 1000
     dtype: Any = jnp.float32
     bn_axis: Any = None  # SyncBN axis (see Backbone)
+    width: float = 1.0   # smoke/ablation scaling (see Backbone)
+    depth: float = 1.0
+    s2d: Any = True
+    wpack: Any = "auto"  # lane packing (on-TPU default; see Backbone)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 input_s2d: bool = False) -> jnp.ndarray:
         x = Backbone(return_pyramid=False, dtype=self.dtype,
-                     bn_axis=self.bn_axis, name="backbone")(x, train)
+                     bn_axis=self.bn_axis, width=self.width,
+                     depth=self.depth, s2d=self.s2d, wpack=self.wpack,
+                     name="backbone")(x, train, input_s2d=input_s2d)
         x = jnp.mean(x, axis=(1, 2))  # NHWC global average pool
         x = nn.Dense(
             self.num_classes,
