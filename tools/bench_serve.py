@@ -161,7 +161,9 @@ def main():
                 // args.batch_size * args.batch_size)
     directs, runtimes, ratios = [], [], []
     for w in range(windows):
-        imgs_w = images[(w * chunk) % max(1, args.n - chunk):][:chunk]
+        # non-overlapping chunks; wrap only when n < windows * chunk
+        start = (w * chunk) % (max(args.n - chunk, 0) + 1)
+        imgs_w = images[start:start + chunk]
         d = bench_direct(pred, imgs_w, args.inflight)
         r = bench_runtime(rt, imgs_w, args.concurrency, size)
         directs.append(d), runtimes.append(r)

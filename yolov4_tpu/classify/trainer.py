@@ -189,6 +189,8 @@ class ClassifierTrainer:
         # fused stem, which needs even spatial dims
         self.layout = transfer_layout
         if self.layout == "s2d" and crop_size % 2:
+            logger.warning(f"transfer_layout=s2d needs an even crop size "
+                           f"(got {crop_size}): falling back to planar")
             self.layout = "planar"
         self.crop_size = crop_size
         self.model = CSPDarknet53(num_classes=num_classes, dtype=compute_dtype,

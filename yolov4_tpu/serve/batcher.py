@@ -172,8 +172,11 @@ class DynamicBatcher:
                 if remaining <= 0 and not device_busy:
                     break
                 try:
+                    # short poll while saturated: the held batch must
+                    # dispatch promptly once a slot frees (bounds the
+                    # post-deadline dispatch lag to ~5 ms)
                     batch.append(self._queue.get(
-                        timeout=0.05 if device_busy else max(remaining, 1e-3)))
+                        timeout=0.005 if device_busy else max(remaining, 1e-3)))
                 except queue.Empty:
                     if not device_busy:
                         break
