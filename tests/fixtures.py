@@ -1,5 +1,11 @@
-"""Synthetic COCO fixture: a tiny on-disk dataset so data tests never need
-the real COCO (reference test scripts required a real ./COCO tree)."""
+"""Synthetic COCO fixtures: tiny on-disk datasets so data tests never need
+the real COCO (reference test scripts required a real ./COCO tree).
+
+``make_fake_coco`` draws random annotations (plumbing tests);
+``make_shapes_coco`` draws DETECTABLE objects whose annotations match the
+pixels (rectangles / circles / triangles as three classes), so a model
+trained on one split can be scored for genuine generalization on a
+held-out split (tools/generalization_smoke.py)."""
 
 import json
 import os
@@ -60,4 +66,77 @@ def make_fake_coco(root: str, name: str = "train2017", n_images: int = 6,
             "categories": categories}
     with open(os.path.join(ann_dir, f"instances_{name}.json"), "w") as f:
         json.dump(blob, f)
+    return ids
+
+
+def _draw_shape(img, kind, cx, cy, half, color):
+    """Draw one filled shape; returns its tight bbox (x, y, w, h)."""
+    if kind == 0:  # rectangle
+        x1, y1 = cx - half, cy - int(half * 0.7)
+        x2, y2 = cx + half, cy + int(half * 0.7)
+        cv2.rectangle(img, (x1, y1), (x2, y2), color, -1)
+        return [x1, y1, x2 - x1, y2 - y1]
+    if kind == 1:  # circle
+        cv2.circle(img, (cx, cy), half, color, -1)
+        return [cx - half, cy - half, 2 * half, 2 * half]
+    # triangle (apex up)
+    pts = np.array([[cx, cy - half], [cx - half, cy + half],
+                    [cx + half, cy + half]], np.int32)
+    cv2.fillPoly(img, [pts], color)
+    return [cx - half, cy - half, 2 * half, 2 * half]
+
+
+def make_shapes_coco(root: str, name: str = "train2017", n_images: int = 64,
+                     seed: int = 0, img_hw=(320, 320), max_shapes: int = 4,
+                     id_base: int = 1000):
+    """Detectable-object synthetic COCO: each image holds 1..max_shapes
+    non-degenerate colored shapes on a noisy background; the annotation of
+    every shape is its true tight bbox and its class is the shape kind
+    (0=rectangle, 1=circle, 2=triangle, mapped to the first three COCO
+    category ids). Disjoint seeds give disjoint image sets, so a held-out
+    split measures generalization, not memorization."""
+    rng = np.random.default_rng(seed)
+    img_dir = os.path.join(root, "images", name)
+    ann_dir = os.path.join(root, "annotations")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(ann_dir, exist_ok=True)
+
+    h, w = img_hw
+    images, annotations = [], []
+    ann_id = 1
+    ids = []
+    for i in range(n_images):
+        img_id = id_base + i
+        ids.append(img_id)
+        # low-contrast noisy background
+        img = rng.integers(90, 150, size=(h, w, 3), dtype=np.uint8)
+        n_shapes = int(rng.integers(1, max_shapes + 1))
+        for _ in range(n_shapes):
+            kind = int(rng.integers(0, 3))
+            half = int(rng.integers(18, min(h, w) // 5))
+            cx = int(rng.integers(half + 2, w - half - 2))
+            cy = int(rng.integers(half + 2, h - half - 2))
+            # saturated colors, far from the background band
+            color = tuple(int(c) for c in rng.choice([30, 220], 3)
+                          + rng.integers(-20, 20, 3))
+            bbox = _draw_shape(img, kind, cx, cy, half, color)
+            annotations.append({
+                "id": ann_id, "image_id": img_id,
+                "category_id": int(COCO_CLASS_IDS[kind]),
+                "bbox": [float(v) for v in bbox],
+                "area": float(bbox[2] * bbox[3]), "iscrowd": 0,
+                "segmentation": [],
+            })
+            ann_id += 1
+        cv2.imwrite(os.path.join(img_dir, f"{img_id:012}.jpg"), img)
+        images.append({"id": img_id, "file_name": f"{img_id:012}.jpg",
+                       "height": h, "width": w})
+
+    categories = [
+        {"id": cid, "name": COCO_LABEL_NAMES[idx + 1], "supercategory": "none"}
+        for idx, cid in enumerate(COCO_CLASS_IDS)
+    ]
+    with open(os.path.join(ann_dir, f"instances_{name}.json"), "w") as f:
+        json.dump({"images": images, "annotations": annotations,
+                   "categories": categories}, f)
     return ids

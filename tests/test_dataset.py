@@ -124,3 +124,34 @@ def test_trainer_evaluate_only_needs_no_train_split(fake_root, tmp_path, monkeyp
     assert trainer.train_loader is None and trainer.train_step is None
     ap, ap50 = trainer.fit(evaluate_only=True)
     assert ap == 0.0  # random weights
+
+
+def test_shapes_fixture_annotations_match_pixels(tmp_path):
+    """make_shapes_coco draws DETECTABLE objects: every annotation's bbox
+    must frame actual non-background pixels of its shape (the contract the
+    generalization smoke depends on)."""
+    from tests.fixtures import make_shapes_coco
+
+    root = str(tmp_path / "shapes")
+    ids = make_shapes_coco(root, "val2017", n_images=6, seed=3,
+                           img_hw=(160, 200), id_base=500)
+    ds = COCODataset(root, "val2017", img_size=160, is_train=False,
+                     transform=Transform(load_config(), is_train=False))
+    assert len(ds) == 6 and ds.ids == ids
+    import cv2
+    checked = 0
+    for img_id in ids:
+        img = cv2.imread(os.path.join(root, "images", "val2017",
+                                      f"{img_id:012}.jpg"))
+        for ann in ds.coco.load_anns(img_id):
+            x, y, w, h = ann["bbox"]
+            xi, yi, wi, hi = (int(round(v)) for v in (x, y, w, h))
+            assert 0 <= xi and 0 <= yi
+            assert xi + wi <= img.shape[1] and yi + hi <= img.shape[0]
+            patch = img[yi:yi + hi, xi:xi + wi].astype(np.int32)
+            # background is a 90..150 noise band; shape colors are near 30
+            # or 220 — the box must contain clearly-foreground pixels
+            fg = ((patch < 70).any(axis=-1) | (patch > 180).any(axis=-1))
+            assert fg.mean() > 0.2, (img_id, (x, y, w, h))
+            checked += 1
+    assert checked >= 6
