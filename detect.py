@@ -69,6 +69,9 @@ def increment_path(path: str) -> Path:
     return path
 
 
+VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv", ".webm")
+
+
 def list_images(source: str):
     if os.path.isfile(source):
         return [source]
@@ -76,6 +79,74 @@ def list_images(source: str):
         raise SystemExit(f"error: --source {source!r} is neither a file nor a directory")
     return sorted(glob.glob(os.path.join(source, "*.jpg"))
                   + glob.glob(os.path.join(source, "*.png")))
+
+
+def process_video(predictor, transform, img_size: int, src_path: str,
+                  out_path: str, progress=None) -> int:
+    """Run batched detection over a video stream; writes an annotated copy.
+
+    Frames batch through the same compiled program as still images (the
+    video is just a frame source); a full batch is in flight while the
+    previous one draws/encodes. Returns the number of frames written.
+    Beyond the reference CLI (images only, detect.py:51-81)."""
+    cap = cv2.VideoCapture(src_path)
+    if not cap.isOpened():
+        raise SystemExit(f"error: cannot open video {src_path!r}")
+    fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (w, h))
+    if not writer.isOpened():  # codec fallback
+        out_path = os.path.splitext(out_path)[0] + ".avi"
+        writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"MJPG"),
+                                 fps, (w, h))
+
+    def read_batch():
+        frames, canvases, infos = [], [], []
+        while len(frames) < predictor.batch_size:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            canvas, target = transform([frame], [np.zeros((0, 5))], img_size)
+            frames.append(frame)
+            canvases.append(canvas)
+            infos.append(target["img_info"])
+        return frames, canvases, infos
+
+    def draw(frames, infos, dets, valids):
+        for i, frame in enumerate(frames):
+            det = dets[i][valids[i]]
+            src_h, src_w, dst_h, dst_w = infos[i][:4]
+            boxes = np.asarray(unmap_to_source_xyxy(
+                det[:, :4], (src_h, src_w), (dst_h, dst_w)))
+            writer.write(draw_detections(
+                frame, boxes, det[:, 4] * det[:, 5],
+                det[:, 6].astype(int)))
+
+    n_out = 0
+    pending = None  # (frames, infos, device futures)
+    while True:
+        frames, canvases, infos = read_batch()
+        if frames:
+            out = predictor.dispatch(np.stack(canvases))
+            nxt = (frames, infos, out)
+        else:
+            nxt = None
+        if pending is not None:
+            pf, pi, po = pending
+            dets = predictor.fetch_local(po[0])[:len(pf)]
+            valids = predictor.fetch_local(po[1])[:len(pf)]
+            draw(pf, pi, dets, valids)
+            n_out += len(pf)
+            if progress:
+                progress(n_out)
+        pending = nxt
+        if pending is None:
+            break
+    cap.release()
+    writer.release()
+    return n_out
 
 
 def main():
@@ -89,11 +160,14 @@ def main():
     nms_thre = cfg["TEST"]["NMSTHRE"] if args.nms_thre < 0 else args.nms_thre
     img_size = cfg["TEST"]["IMGSIZE"]
 
-    paths = list_images(args.source)
-    if not paths:
-        raise FileNotFoundError(f"no .jpg/.png under {args.source}")
-    logger.info(f"detecting {len(paths)} image(s) at {img_size}x{img_size}, "
-                f"conf {conf_thre}, nms {nms_thre}")
+    video_mode = (os.path.isfile(args.source)
+                  and args.source.lower().endswith(VIDEO_EXTS))
+    paths = [] if video_mode else list_images(args.source)
+    if not video_mode:
+        if not paths:
+            raise FileNotFoundError(f"no .jpg/.png under {args.source}")
+        logger.info(f"detecting {len(paths)} image(s) at {img_size}x"
+                    f"{img_size}, conf {conf_thre}, nms {nms_thre}")
 
     variables = None
     if args.ckpt:
@@ -103,6 +177,25 @@ def main():
         logger.warning("no --ckpt given: running with RANDOM weights")
 
     transform = Transform(cfg, is_train=False, keep_uint8=True)
+
+    if video_mode:
+        predictor = Predictor(cfg, variables=variables, img_size=img_size,
+                              batch_size=args.batch_size,
+                              conf_thre=conf_thre, nms_thre=nms_thre)
+        dest = increment_path(os.path.join(args.dest, "exp"))
+        stem = os.path.splitext(os.path.basename(args.source))[0]
+        out_path = os.path.join(str(dest), f"{stem}_det.mp4")
+        logger.info(f"video {args.source} at {img_size}x{img_size}, "
+                    f"conf {conf_thre}, nms {nms_thre}")
+        t0 = time.time()
+        n = process_video(
+            predictor, transform, img_size, args.source, out_path,
+            progress=lambda k: (k % (args.batch_size * 8) == 0
+                                and logger.info(f"  {k} frames...")))
+        dt = time.time() - t0
+        logger.info(f"done: {n} frames in {dt:.2f}s "
+                    f"({n / max(dt, 1e-9):.1f} fps) -> {out_path}")
+        return
     predictor = Predictor(cfg, variables=variables, img_size=img_size,
                           batch_size=min(args.batch_size, len(paths)),
                           conf_thre=conf_thre, nms_thre=nms_thre)
