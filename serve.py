@@ -36,6 +36,11 @@ def parse_args():
                         default="configs/yolov4_default.cfg")
     parser.add_argument("--ckpt", type=str, default=None,
                         help="checkpoint (.ckpt or reference .pth.tar)")
+    parser.add_argument("--artifact", type=str, default=None,
+                        help="comma-separated exported .y4x serving "
+                             "artifacts (tools/export_serving.py) — serve "
+                             "straight from the files, no model code/"
+                             "config/checkpoint; overrides --cfg/--ckpt")
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--sizes", type=str, default=None,
@@ -63,28 +68,37 @@ def main():
     args = parse_args()
     setup_logging(0)
     logger = get_logger(__name__)
-    cfg = load_config(args.cfg)
-    if args.quant is not None:
-        cfg["MODEL"]["QUANT"] = args.quant
-    nms_thre = cfg["TEST"]["NMSTHRE"] if args.nms_thre < 0 else args.nms_thre
-    sizes = ([int(s) for s in args.sizes.split(",")] if args.sizes
-             else [cfg["TEST"]["IMGSIZE"]])
-
-    variables = None
-    if args.ckpt:
-        variables = ckpt_lib.load_variables(args.ckpt)
-        logger.info(f"loaded checkpoint {args.ckpt}")
+    if args.artifact:
+        paths = [p for p in args.artifact.split(",") if p]
+        runtime = ServingRuntime.from_artifacts(
+            paths, max_wait_ms=args.max_wait_ms, inflight=args.inflight,
+            request_timeout_s=args.request_timeout_s)
+        logger.info(f"serving {len(paths)} artifact bucket(s) "
+                    f"{runtime.sizes} (baked weights + thresholds)")
     else:
-        logger.warning("no --ckpt given: serving RANDOM weights")
+        cfg = load_config(args.cfg)
+        if args.quant is not None:
+            cfg["MODEL"]["QUANT"] = args.quant
+        nms_thre = (cfg["TEST"]["NMSTHRE"] if args.nms_thre < 0
+                    else args.nms_thre)
+        sizes = ([int(s) for s in args.sizes.split(",")] if args.sizes
+                 else [cfg["TEST"]["IMGSIZE"]])
 
-    runtime = ServingRuntime(
-        cfg, variables=variables, sizes=sizes, batch_size=args.batch_size,
-        max_wait_ms=args.max_wait_ms, inflight=args.inflight,
-        conf_thre=args.conf_thre, nms_thre=nms_thre,
-        request_timeout_s=args.request_timeout_s)
-    logger.info(f"warming {len(sizes)} bucket(s) {sizes} at batch "
-                f"{args.batch_size} (first compile of a new shape can take "
-                f"minutes; cached shapes are seconds)...")
+        variables = None
+        if args.ckpt:
+            variables = ckpt_lib.load_variables(args.ckpt)
+            logger.info(f"loaded checkpoint {args.ckpt}")
+        else:
+            logger.warning("no --ckpt given: serving RANDOM weights")
+
+        runtime = ServingRuntime(
+            cfg, variables=variables, sizes=sizes,
+            batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
+            inflight=args.inflight, conf_thre=args.conf_thre,
+            nms_thre=nms_thre, request_timeout_s=args.request_timeout_s)
+        logger.info(f"warming {len(sizes)} bucket(s) {sizes} at batch "
+                    f"{args.batch_size} (first compile of a new shape can "
+                    f"take minutes; cached shapes are seconds)...")
     runtime.start(warmup=True)
 
     srv = make_server(runtime, host=args.host, port=args.port)

@@ -332,6 +332,39 @@ def test_http_health_config_metrics(http_runtime):
     assert str(SIZE) in stats["buckets"]
 
 
+def test_artifact_serving_matches_live(tiny_predictor, tmp_path):
+    """ServingRuntime.from_artifacts drives the exported single-file
+    program through the batcher with results identical to the live
+    Predictor on the same batch."""
+    from yolov4_tpu.serve import ServingRuntime
+    from yolov4_tpu.utils.export import export_serving
+
+    path = str(tmp_path / "m.y4x")
+    export_serving(tiny_predictor, path)
+    rt = ServingRuntime.from_artifacts([path], max_wait_ms=300.0)
+    rt.start(warmup=False)
+    try:
+        assert rt.sizes == [SIZE]
+        bucket = rt.buckets[SIZE]
+        assert bucket.batch_size == tiny_predictor.batch_size
+        assert bucket.predictor.conf_thre == tiny_predictor.conf_thre
+        rng = np.random.default_rng(5)
+        imgs = rng.integers(0, 256, (4, SIZE, SIZE, 3), np.uint8)
+        futs = [bucket.submit_canvas(imgs[i], INFO) for i in range(4)]
+        got = [f.result(timeout=300) for f in futs]
+    finally:
+        rt.close()
+    dets, valids = tiny_predictor(imgs)
+    for i in range(4):
+        d = dets[i][valids[i]]
+        np.testing.assert_array_equal(got[i].boxes, d[:, :4])
+        np.testing.assert_array_equal(
+            got[i].scores, (d[:, 4] * d[:, 5]).astype(np.float32))
+    # duplicate sizes are rejected
+    with pytest.raises(ValueError, match="duplicate"):
+        ServingRuntime.from_artifacts([path, path])
+
+
 def test_http_error_paths(http_runtime):
     rt, base = http_runtime
     # junk body -> 400, not a dead server

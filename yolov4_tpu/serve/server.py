@@ -52,27 +52,62 @@ class ServingRuntime:
                  batch_size: int = 16, max_wait_ms: float = 8.0,
                  inflight: int = 3, conf_thre: Optional[float] = None,
                  nms_thre: Optional[float] = None,
-                 request_timeout_s: float = 120.0):
+                 request_timeout_s: float = 120.0,
+                 predictors: Optional[Dict[int, object]] = None):
         self.cfg = cfg
         # generous default: first dispatches on a congested host/tunnel can
         # take tens of seconds even with a warm compile cache
         self.request_timeout_s = request_timeout_s
-        self.sizes = [int(s) for s in (sizes or [cfg["TEST"]["IMGSIZE"]])]
         self.metrics = ServeMetrics()
         self._transform = Transform(cfg, is_train=False, keep_uint8=True)
         self.buckets: Dict[int, DynamicBatcher] = {}
-        shared_vars = variables
-        for size in self.sizes:
-            pred = Predictor(cfg, variables=shared_vars, img_size=size,
-                             batch_size=batch_size, conf_thre=conf_thre,
-                             nms_thre=nms_thre)
-            # first Predictor device-puts the tree; later buckets reuse the
-            # on-device arrays (device_put of a committed array is a no-op)
-            shared_vars = pred.variables
-            self.buckets[size] = DynamicBatcher(
-                pred, max_wait_ms=max_wait_ms, inflight=inflight,
-                metrics=self.metrics, name=f"bucket{size}")
+        if predictors is not None:
+            # prebuilt predictor-likes (e.g. ArtifactPredictor buckets)
+            self.sizes = [int(s) for s in predictors]
+            for size, pred in predictors.items():
+                self.buckets[int(size)] = DynamicBatcher(
+                    pred, max_wait_ms=max_wait_ms, inflight=inflight,
+                    metrics=self.metrics, name=f"bucket{size}")
+        else:
+            self.sizes = [int(s) for s in (sizes or [cfg["TEST"]["IMGSIZE"]])]
+            shared_vars = variables
+            for size in self.sizes:
+                pred = Predictor(cfg, variables=shared_vars, img_size=size,
+                                 batch_size=batch_size, conf_thre=conf_thre,
+                                 nms_thre=nms_thre)
+                # first Predictor device-puts the tree; later buckets reuse
+                # the on-device arrays (device_put of a committed array is
+                # a no-op)
+                shared_vars = pred.variables
+                self.buckets[size] = DynamicBatcher(
+                    pred, max_wait_ms=max_wait_ms, inflight=inflight,
+                    metrics=self.metrics, name=f"bucket{size}")
         self.ready = False
+
+    @classmethod
+    def from_artifacts(cls, paths: Sequence[str], max_wait_ms: float = 8.0,
+                       inflight: int = 3,
+                       request_timeout_s: float = 120.0) -> "ServingRuntime":
+        """Serve straight from exported single-file artifacts (one bucket
+        per file, keyed by the artifact's img_size; thresholds/quant are
+        the baked export-time values). The serving host needs jax + the
+        files only."""
+        from yolov4_tpu.config import load_config
+        from yolov4_tpu.serve.artifact import ArtifactPredictor
+
+        preds = {}
+        for p in paths:
+            ap = ArtifactPredictor.load(p)
+            if ap.img_size in preds:
+                raise ValueError(f"duplicate bucket size {ap.img_size} "
+                                 f"from {p}")
+            preds[ap.img_size] = ap
+        # preprocessing (BGR->RGB + stretch resize) needs no model config;
+        # the default config supplies the transform's unused-on-val knobs
+        cfg = load_config()
+        cfg["MODEL"]["QUANT"] = next(iter(preds.values())).quant
+        return cls(cfg, predictors=preds, max_wait_ms=max_wait_ms,
+                   inflight=inflight, request_timeout_s=request_timeout_s)
 
     def start(self, warmup: bool = True) -> "ServingRuntime":
         for b in self.buckets.values():
