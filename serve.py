@@ -53,6 +53,10 @@ def parse_args():
                         help="dispatched-but-unfetched batch window")
     parser.add_argument("--request-timeout-s", type=float, default=120.0,
                         help="per-request server-side completion deadline")
+    parser.add_argument("--mesh", action="store_true",
+                        help="shard each serving batch over all local "
+                             "devices (GSPMD-partitioned program; "
+                             "batch-size is per process)")
     parser.add_argument("--conf-thre", type=float, default=0.25,
                         help="bucket detection threshold (requests may "
                              "raise it per call via ?conf=)")
@@ -91,11 +95,16 @@ def main():
         else:
             logger.warning("no --ckpt given: serving RANDOM weights")
 
+        mesh = None
+        if args.mesh:
+            from yolov4_tpu.parallel.mesh import create_mesh
+            mesh = create_mesh()
         runtime = ServingRuntime(
             cfg, variables=variables, sizes=sizes,
             batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
             inflight=args.inflight, conf_thre=args.conf_thre,
-            nms_thre=nms_thre, request_timeout_s=args.request_timeout_s)
+            nms_thre=nms_thre, request_timeout_s=args.request_timeout_s,
+            mesh=mesh)
         logger.info(f"warming {len(sizes)} bucket(s) {sizes} at batch "
                     f"{args.batch_size} (first compile of a new shape can "
                     f"take minutes; cached shapes are seconds)...")

@@ -332,6 +332,39 @@ def test_http_health_config_metrics(http_runtime):
     assert str(SIZE) in stats["buckets"]
 
 
+def test_mesh_sharded_serving_matches_single_device():
+    """ServingRuntime with a device mesh: the batch shards over the
+    'data' axis (GSPMD partitions the whole serving program) and
+    per-image results match the unsharded predictor on the same batch."""
+    import jax
+    from yolov4_tpu.parallel.mesh import create_mesh
+    from yolov4_tpu.serve import ServingRuntime
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device CPU mesh")
+    cfg = _small_cfg()
+    mesh = create_mesh()
+    rt = ServingRuntime(cfg, sizes=[SIZE], batch_size=8, max_wait_ms=300.0,
+                        mesh=mesh)
+    rt.start(warmup=False)
+    rng = np.random.default_rng(9)
+    imgs = rng.integers(0, 256, (8, SIZE, SIZE, 3), np.uint8)
+    try:
+        bucket = rt.buckets[SIZE]
+        assert bucket.batch_size == 8  # rounded to a whole per-device count
+        futs = [bucket.submit_canvas(imgs[i], INFO) for i in range(8)]
+        got = [f.result(timeout=600) for f in futs]
+    finally:
+        rt.close()
+    plain = Predictor(cfg, img_size=SIZE, batch_size=8)
+    dets, valids = plain(imgs)
+    for i in range(8):
+        d = dets[i][valids[i]]
+        np.testing.assert_allclose(got[i].boxes, d[:, :4], rtol=1e-5,
+                                   atol=1e-4)
+        assert got[i].class_ids.shape[0] == d.shape[0]
+
+
 def test_artifact_serving_matches_live(tiny_predictor, tmp_path):
     """ServingRuntime.from_artifacts drives the exported single-file
     program through the batcher with results identical to the live

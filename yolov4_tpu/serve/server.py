@@ -53,7 +53,8 @@ class ServingRuntime:
                  inflight: int = 3, conf_thre: Optional[float] = None,
                  nms_thre: Optional[float] = None,
                  request_timeout_s: float = 120.0,
-                 predictors: Optional[Dict[int, object]] = None):
+                 predictors: Optional[Dict[int, object]] = None,
+                 mesh=None):
         self.cfg = cfg
         # generous default: first dispatches on a congested host/tunnel can
         # take tens of seconds even with a warm compile cache
@@ -72,9 +73,12 @@ class ServingRuntime:
             self.sizes = [int(s) for s in (sizes or [cfg["TEST"]["IMGSIZE"]])]
             shared_vars = variables
             for size in self.sizes:
+                # mesh: shard each serving batch over the device mesh's
+                # 'data' axis (GSPMD partitions the whole forward+NMS
+                # program) — multi-chip serving from the same runtime
                 pred = Predictor(cfg, variables=shared_vars, img_size=size,
                                  batch_size=batch_size, conf_thre=conf_thre,
-                                 nms_thre=nms_thre)
+                                 nms_thre=nms_thre, mesh=mesh)
                 # first Predictor device-puts the tree; later buckets reuse
                 # the on-device arrays (device_put of a committed array is
                 # a no-op)
