@@ -113,6 +113,13 @@ def main():
     srv = make_server(runtime, host=args.host, port=args.port)
     logger.info(f"serving on http://{args.host}:{srv.server_address[1]} — "
                 f"POST /v1/detect, GET /healthz /metrics /stats /v1/config")
+
+    import signal
+
+    def _term(signum, frame):  # containers stop with SIGTERM
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:

@@ -420,3 +420,22 @@ def test_http_error_paths(http_runtime):
     # server still alive afterwards
     status, _ = _get(f"{base}/healthz")
     assert status == 200
+
+
+def test_http_oversize_body_rejected(http_runtime):
+    rt, base = http_runtime
+    req = urllib.request.Request(f"{base}/v1/detect", data=b"x",
+                                 method="POST")
+    req.add_header("Content-Length", str(200 * 1024 * 1024))
+    # the header alone must trigger the 413 (the server never reads it)
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected 413"
+    except urllib.error.HTTPError as e:
+        assert e.code == 413
+    except Exception:
+        # some urllib stacks error client-side on the length mismatch;
+        # the server must still be alive either way
+        pass
+    status, _ = _get(f"{base}/healthz")
+    assert status == 200

@@ -214,6 +214,8 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._send(404, {"error": f"unknown path {path}"})
 
+    max_body_bytes = 64 * 1024 * 1024  # reject absurd uploads pre-read
+
     def do_POST(self):
         import cv2
         url = urlparse(self.path)
@@ -228,6 +230,10 @@ class _Handler(BaseHTTPRequestHandler):
             length = int(self.headers.get("Content-Length", 0))
             if length <= 0:
                 raise ValueError("empty body (send jpeg/png bytes)")
+            if length > self.max_body_bytes:
+                self._send(413, {"error": f"body {length} bytes exceeds "
+                                          f"{self.max_body_bytes}"})
+                return
             raw = self.rfile.read(length)
             img = cv2.imdecode(np.frombuffer(raw, np.uint8),
                                cv2.IMREAD_COLOR)
