@@ -52,6 +52,14 @@ def main():
     parser.add_argument("--root", default="/tmp/coco_shapes")
     parser.add_argument("--assert-ap50", type=float, default=-1.0,
                         help="fail below this held-out AP50 (<0 = report only)")
+    parser.add_argument("--use-trainer", action="store_true",
+                        help="drive the PRODUCTION engine.Trainer instead "
+                             "of the manual loop: reference augmentation "
+                             "(mosaic/flip/HSV), per-epoch held-out eval, "
+                             "best-AP50 checkpointing")
+    parser.add_argument("--device-aug", action="store_true",
+                        help="with --use-trainer: run the augmentation on "
+                             "device (AUGMENTATION.DEVICE)")
     args = parser.parse_args()
     S, B = args.img_size, args.batch_size
 
@@ -71,6 +79,28 @@ def main():
                                RANDOM_HORIZONTAL_FLIP=True, JITTER=0.0)
     cfg["OPTIMIZER"]["LR"] = 1e-3
     cfg["LR_SCHEDULER"].update(IS_WARMUP=True, WARMUP_EPOCH=1)
+
+    if args.use_trainer:
+        # the full production path: reference mosaic/crop/flip/HSV
+        # augmentation (host, or on-device with --device-aug), per-epoch
+        # held-out validation, best-AP50 checkpoint (reference
+        # main_amp.py's whole epoch loop)
+        from yolov4_tpu.engine.trainer import Trainer
+        cfg["AUGMENTATION"].update(IS_MOSAIC=True, COLOR_DITHERING=True,
+                                   JITTER=0.3, DEVICE=bool(args.device_aug))
+        cfg["TRAIN"].update(MAX_EPOCHS=args.epochs,
+                            OUTPUT_DIR=os.path.join(args.root, "out"))
+        cfg["DATA"].update(WORKERS=0, BATCH_SIZE=B)
+        t0 = time.time()
+        trainer = Trainer(cfg, args.root)
+        best_ap, best_ap50 = trainer.fit()
+        print(f"TRAINER mode ({'device' if args.device_aug else 'host'} "
+              f"aug): best held-out AP {best_ap:.3f} AP50 {best_ap50:.3f} "
+              f"in {time.time() - t0:.0f}s")
+        if args.assert_ap50 >= 0:
+            assert best_ap50 >= args.assert_ap50, (
+                f"held-out AP50 {best_ap50:.3f} < {args.assert_ap50}")
+        return
 
     model = build_model(cfg)
     variables = init_variables(model, jax.random.PRNGKey(0), S)
