@@ -82,12 +82,13 @@ def list_images(source: str):
 
 
 def process_video(predictor, transform, img_size: int, src_path: str,
-                  out_path: str, progress=None) -> int:
+                  out_path: str, progress=None):
     """Run batched detection over a video stream; writes an annotated copy.
 
     Frames batch through the same compiled program as still images (the
     video is just a frame source); a full batch is in flight while the
-    previous one draws/encodes. Returns the number of frames written.
+    previous one draws/encodes. Returns (frames_written, actual_out_path)
+    — the path may gain an .avi extension when the mp4 codec is absent.
     Beyond the reference CLI (images only, detect.py:51-81)."""
     cap = cv2.VideoCapture(src_path)
     if not cap.isOpened():
@@ -101,6 +102,12 @@ def process_video(predictor, transform, img_size: int, src_path: str,
         out_path = os.path.splitext(out_path)[0] + ".avi"
         writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"MJPG"),
                                  fps, (w, h))
+    if not writer.isOpened():
+        # write() on an unopened writer is a silent no-op — fail loudly
+        # instead of reporting N frames that never hit disk
+        cap.release()
+        raise SystemExit("error: no usable cv2 video encoder "
+                         "(tried mp4v, MJPG)")
 
     def read_batch():
         frames, canvases, infos = [], [], []
@@ -146,7 +153,7 @@ def process_video(predictor, transform, img_size: int, src_path: str,
             break
     cap.release()
     writer.release()
-    return n_out
+    return n_out, out_path
 
 
 def main():
@@ -188,7 +195,7 @@ def main():
         logger.info(f"video {args.source} at {img_size}x{img_size}, "
                     f"conf {conf_thre}, nms {nms_thre}")
         t0 = time.time()
-        n = process_video(
+        n, out_path = process_video(
             predictor, transform, img_size, args.source, out_path,
             progress=lambda k: (k % (args.batch_size * 8) == 0
                                 and logger.info(f"  {k} frames...")))

@@ -73,6 +73,18 @@ def main():
     setup_logging(0)
     logger = get_logger(__name__)
     if args.artifact:
+        ignored = [name for name, val, default in (
+            ("--ckpt", args.ckpt, None), ("--sizes", args.sizes, None),
+            ("--quant", args.quant, None), ("--mesh", args.mesh, False),
+            ("--batch-size", args.batch_size, 16),
+            ("--conf-thre", args.conf_thre, 0.25),
+            ("--nms-thre", args.nms_thre, -0.1),
+        ) if val != default]
+        if ignored:
+            logger.warning(
+                f"--artifact serves the baked program: {', '.join(ignored)} "
+                f"have no effect (batch/size/thresholds/quant are fixed at "
+                f"export time; re-export to change them)")
         paths = [p for p in args.artifact.split(",") if p]
         runtime = ServingRuntime.from_artifacts(
             paths, max_wait_ms=args.max_wait_ms, inflight=args.inflight,

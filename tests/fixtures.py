@@ -58,15 +58,18 @@ def make_fake_coco(root: str, name: str = "train2017", n_images: int = 6,
             })
             ann_id += 1
 
+    _write_instances(ann_dir, name, images, annotations)
+    return ids
+
+
+def _write_instances(ann_dir: str, name: str, images, annotations) -> None:
     categories = [
         {"id": cid, "name": COCO_LABEL_NAMES[idx + 1], "supercategory": "none"}
         for idx, cid in enumerate(COCO_CLASS_IDS)
     ]
-    blob = {"images": images, "annotations": annotations,
-            "categories": categories}
     with open(os.path.join(ann_dir, f"instances_{name}.json"), "w") as f:
-        json.dump(blob, f)
-    return ids
+        json.dump({"images": images, "annotations": annotations,
+                   "categories": categories}, f)
 
 
 def _draw_shape(img, kind, cx, cy, half, color):
@@ -113,7 +116,11 @@ def make_shapes_coco(root: str, name: str = "train2017", n_images: int = 64,
         n_shapes = int(rng.integers(1, max_shapes + 1))
         for _ in range(n_shapes):
             kind = int(rng.integers(0, 3))
-            half = int(rng.integers(18, min(h, w) // 5))
+            # [18, min/5) at the default 320 size (the recorded-AP
+            # distribution); clamped so small img_hw stays valid
+            half_lo = min(18, max(6, min(h, w) // 8))
+            half_hi = max(half_lo + 1, min(h, w) // 5)
+            half = int(rng.integers(half_lo, half_hi))
             cx = int(rng.integers(half + 2, w - half - 2))
             cy = int(rng.integers(half + 2, h - half - 2))
             # saturated colors, far from the background band
@@ -132,11 +139,5 @@ def make_shapes_coco(root: str, name: str = "train2017", n_images: int = 64,
         images.append({"id": img_id, "file_name": f"{img_id:012}.jpg",
                        "height": h, "width": w})
 
-    categories = [
-        {"id": cid, "name": COCO_LABEL_NAMES[idx + 1], "supercategory": "none"}
-        for idx, cid in enumerate(COCO_CLASS_IDS)
-    ]
-    with open(os.path.join(ann_dir, f"instances_{name}.json"), "w") as f:
-        json.dump({"images": images, "annotations": annotations,
-                   "categories": categories}, f)
+    _write_instances(ann_dir, name, images, annotations)
     return ids

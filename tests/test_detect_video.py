@@ -43,11 +43,11 @@ def test_process_video_roundtrip(tmp_path):
     transform = Transform(cfg, is_train=False, keep_uint8=True)
     out = str(tmp_path / "out.mp4")
     seen = []
-    n = detect_cli.process_video(pred, transform, 64, src, out,
-                                 progress=seen.append)
+    n, written = detect_cli.process_video(pred, transform, 64, src, out,
+                                          progress=seen.append)
     assert n == N_FRAMES
-    # the annotated copy must be a readable video with every frame
-    written = out if os.path.exists(out) else os.path.splitext(out)[0] + ".avi"
+    # the returned path is the annotated copy (may be .avi on fallback)
+    assert os.path.exists(written)
     cap = cv2.VideoCapture(written)
     count = 0
     while True:

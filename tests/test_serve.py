@@ -424,18 +424,16 @@ def test_http_error_paths(http_runtime):
 
 def test_http_oversize_body_rejected(http_runtime):
     rt, base = http_runtime
-    req = urllib.request.Request(f"{base}/v1/detect", data=b"x",
-                                 method="POST")
-    req.add_header("Content-Length", str(200 * 1024 * 1024))
-    # the header alone must trigger the 413 (the server never reads it)
-    try:
-        urllib.request.urlopen(req, timeout=60)
-        assert False, "expected 413"
-    except urllib.error.HTTPError as e:
-        assert e.code == 413
-    except Exception:
-        # some urllib stacks error client-side on the length mismatch;
-        # the server must still be alive either way
-        pass
+    # raw socket: urllib would try to SEND the advertised body; the server
+    # must 413 (and close) from the header alone, before any body arrives
+    import socket
+    host, port = base.replace("http://", "").split(":")
+    with socket.create_connection((host, int(port)), timeout=60) as s:
+        s.sendall(b"POST /v1/detect HTTP/1.1\r\n"
+                  b"Host: x\r\n"
+                  b"Content-Length: 209715200\r\n\r\n")
+        status_line = s.makefile("rb").readline()
+    assert b"413" in status_line, status_line
+    # server alive afterwards
     status, _ = _get(f"{base}/healthz")
     assert status == 200

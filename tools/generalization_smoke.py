@@ -63,12 +63,27 @@ def main():
     args = parser.parse_args()
     S, B = args.img_size, args.batch_size
 
-    if not os.path.isdir(args.root):
+    # regenerate when the on-disk dataset was built with different params
+    # (a stale root would silently train on data the flags don't describe)
+    import json
+    stamp_path = os.path.join(args.root, "dataset_params.json")
+    stamp = {"train_images": args.train_images, "val_images": args.val_images,
+             "img_size": S}
+    on_disk = None
+    if os.path.isfile(stamp_path):
+        with open(stamp_path) as f:
+            on_disk = json.load(f)
+    if on_disk != stamp:
+        if os.path.isdir(args.root):
+            import shutil
+            shutil.rmtree(args.root)
         # disjoint seeds -> disjoint shape layouts; val images are unseen
         make_shapes_coco(args.root, "train2017", n_images=args.train_images,
                          seed=100, img_hw=(S, S), id_base=1000)
         make_shapes_coco(args.root, "val2017", n_images=args.val_images,
                          seed=999, img_hw=(S, S), id_base=90000)
+        with open(stamp_path, "w") as f:
+            json.dump(stamp, f)
 
     cfg = load_config()
     cfg["TRAIN"]["IMGSIZE"] = S

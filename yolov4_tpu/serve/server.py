@@ -105,6 +105,12 @@ class ServingRuntime:
             if ap.img_size in preds:
                 raise ValueError(f"duplicate bucket size {ap.img_size} "
                                  f"from {p}")
+            if ap._wire_dtype != np.uint8:
+                # the HTTP path submits uint8 canvases; a float32-wire
+                # artifact would pass warmup then fail every request
+                raise ValueError(
+                    f"{p}: artifact wire dtype {ap._wire_dtype} is not "
+                    f"servable over HTTP (re-export with uint8 wire)")
             preds[ap.img_size] = ap
         # preprocessing (BGR->RGB + stretch resize) needs no model config;
         # the default config supplies the transform's unused-on-val knobs
@@ -231,6 +237,11 @@ class _Handler(BaseHTTPRequestHandler):
             if length <= 0:
                 raise ValueError("empty body (send jpeg/png bytes)")
             if length > self.max_body_bytes:
+                # body is NOT drained: close the connection so remaining
+                # bytes can't desync a keep-alive stream into garbage
+                # requests
+                self.close_connection = True
+                rt.metrics.count("errors_total")
                 self._send(413, {"error": f"body {length} bytes exceeds "
                                           f"{self.max_body_bytes}"})
                 return
