@@ -236,3 +236,40 @@ def test_s2d_wire_layout_matches_nhwc():
         lambda a, b_: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5),
         st_n.params, st_s.params)
+
+
+def test_trainer_writes_metrics_jsonl(tmp_path):
+    """The trainer's JSONL scalar sink records train + eval scalars
+    (machine-readable copy of the stdout log)."""
+    import json
+    import os
+
+    from tests.fixtures import make_fake_coco
+    from yolov4_tpu.config import load_config
+    from yolov4_tpu.engine.trainer import Trainer
+
+    root = str(tmp_path / "coco")
+    make_fake_coco(root, "train2017", n_images=8, seed=0)
+    make_fake_coco(root, "val2017", n_images=2, seed=1)
+    cfg = load_config()
+    cfg["MODEL"].update(WIDTH=0.25, DEPTH=0.25, COMPUTE_DTYPE="float32",
+                        BACKBONE_PRETRAINED=None)
+    cfg["TRAIN"].update(IMGSIZE=64, MAX_EPOCHS=1,
+                        OUTPUT_DIR=str(tmp_path / "out"))
+    cfg["TEST"].update(IMGSIZE=64, BATCH_SIZE=2, PRE_NMS_TOPK=64, MAX_DETS=10)
+    # local batch = BATCH_SIZE * 8 virtual devices; 8 images = 1 batch
+    cfg["DATA"].update(WORKERS=0, BATCH_SIZE=1)
+    cfg["AUGMENTATION"].update(IS_MOSAIC=False)
+    trainer = Trainer(cfg, root)
+    trainer.print_freq = 1  # record every batch of the tiny epoch
+    trainer.fit()
+
+    path = os.path.join(str(tmp_path / "out"), "metrics.jsonl")
+    assert os.path.isfile(path)
+    records = [json.loads(l) for l in open(path)]
+    kinds = {r["kind"] for r in records}
+    assert kinds == {"train", "eval"}
+    tr = next(r for r in records if r["kind"] == "train")
+    assert {"ts", "epoch", "step", "loss", "lr", "img_s"} <= set(tr)
+    ev = next(r for r in records if r["kind"] == "eval")
+    assert {"ap", "ap50", "best_ap50"} <= set(ev)

@@ -29,7 +29,7 @@ from yolov4_tpu.parallel import create_mesh, create_train_state, make_train_step
 from yolov4_tpu.parallel.mesh import batch_sharding
 from yolov4_tpu.utils import checkpoint as ckpt_lib
 from yolov4_tpu.utils.logging import get_logger
-from yolov4_tpu.utils.metrics import AverageMeter
+from yolov4_tpu.utils.metrics import AverageMeter, MetricsJSONL
 
 logger = get_logger(__name__)
 
@@ -48,6 +48,10 @@ class Trainer:
             start=10, count=profile_steps)
         self.process_index = jax.process_index()
         self.is_primary = self.process_index == 0
+        import os as _os
+        self.metrics_log = MetricsJSONL(
+            _os.path.join(self.output_dir, "metrics.jsonl"),
+            enabled=self.is_primary)
 
         self.mesh = create_mesh()
         self.batch_sharding = batch_sharding(self.mesh)
@@ -232,6 +236,11 @@ class Trainer:
                     f"Lr {lr:.8f} "
                     f"Loss {loss_val:.4f} "
                     f"ImgSize: {cfg['TRAIN']['IMGSIZE']}x{cfg['TRAIN']['IMGSIZE']}")
+                self.metrics_log.write({
+                    "kind": "train", "epoch": epoch + 1,
+                    "step": int(self.state.step), "loss": loss_val,
+                    "lr": lr, "img_s": round(ips, 1),
+                    "batch_time_s": round(batch_time.val, 4)})
         self.profiler.close()
         return loss_val
 
@@ -279,5 +288,9 @@ class Trainer:
             if self.is_primary:
                 logger.info(f"epoch {epoch + 1}: AP {ap:.5f} AP50 {ap50:.5f} "
                             f"(best AP50 {max(ap50, self.best_ap50):.5f})")
+                self.metrics_log.write({
+                    "kind": "eval", "epoch": epoch + 1, "ap": ap,
+                    "ap50": ap50,
+                    "best_ap50": max(ap50, self.best_ap50)})
                 self.save(epoch, ap50, ap)
         return self.best_ap50_95, self.best_ap50

@@ -35,3 +35,29 @@ class Timer:
         else:
             self.smoothed = self._ema * self.smoothed + (1 - self._ema) * seconds
         return self.smoothed
+
+
+class MetricsJSONL:
+    """Append-only JSONL scalar sink for dashboards/scripts (the reference
+    logs training scalars to stdout only, engine/build.py:85-103; the
+    stdout log stays — this is the machine-readable copy).
+
+    One line per record: {"ts": unix_seconds, **record}. Writes flush
+    immediately so a tail -f / crash loses nothing. ``enabled=False``
+    (non-primary processes) turns every call into a no-op."""
+
+    def __init__(self, path: str, enabled: bool = True):
+        import os
+        self.path = path
+        self.enabled = enabled
+        if enabled:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def write(self, record: dict) -> None:
+        if not self.enabled:
+            return
+        import json
+        import time as _time
+        with open(self.path, "a") as f:
+            f.write(json.dumps({"ts": round(_time.time(), 3), **record},
+                               default=float) + "\n")
