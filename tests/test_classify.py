@@ -145,6 +145,30 @@ def test_trainer_wire_layouts_equivalent(trainer_root):
         assert results[layout][1] == base[1], layout
 
 
+def test_cls_trainer_writes_metrics_jsonl(trainer_root, tmp_path):
+    """The classifier trainer writes the same machine-readable scalar sink
+    as the detection Trainer (OUTPUT_DIR/metrics.jsonl)."""
+    import json
+
+    from yolov4_tpu.classify.trainer import ClassifierTrainer
+
+    out = str(tmp_path / "out")
+    tr = ClassifierTrainer(
+        trainer_root, batch_size=1, epochs=1, workers=0, crop_size=32,
+        val_size=40, num_classes=2, seed=0, width=0.25, depth=0.25,
+        output_dir=out, print_freq=1)
+    tr.fit()
+    path = os.path.join(out, "metrics.jsonl")
+    assert os.path.isfile(path)
+    records = [json.loads(line) for line in open(path)]
+    kinds = {r["kind"] for r in records}
+    assert kinds == {"train", "eval"}
+    train_rec = next(r for r in records if r["kind"] == "train")
+    assert {"ts", "epoch", "step", "loss", "lr", "img_s"} <= set(train_rec)
+    ev = next(r for r in records if r["kind"] == "eval")
+    assert {"prec1", "prec5", "best_prec1"} <= set(ev)
+
+
 def test_pack_decode_wire_roundtrip():
     """decode_cls_wire(pack_cls_wire(x)) reproduces the NHWC normalize
     exactly for every layout (values and positions)."""

@@ -13,6 +13,7 @@ YOLOv4 training consumes as BACKBONE_PRETRAINED.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Dict, Optional, Tuple
 
@@ -27,7 +28,7 @@ from yolov4_tpu.parallel.mesh import DATA_AXIS, batch_sharding, create_mesh
 from yolov4_tpu.parallel.train_step import TrainState, create_train_state
 from yolov4_tpu.utils import checkpoint as ckpt_lib
 from yolov4_tpu.utils.logging import get_logger
-from yolov4_tpu.utils.metrics import AverageMeter
+from yolov4_tpu.utils.metrics import AverageMeter, MetricsJSONL
 
 logger = get_logger(__name__)
 
@@ -158,6 +159,10 @@ class ClassifierTrainer:
         self.print_freq = print_freq
         self.epochs = epochs
         self.output_dir = output_dir
+        # same machine-readable scalar sink as the detection Trainer
+        self.metrics_log = MetricsJSONL(
+            os.path.join(output_dir, "metrics.jsonl"),
+            enabled=jax.process_index() == 0)
         self.num_classes = num_classes
         self.mesh = create_mesh()
         self.sharding = batch_sharding(self.mesh)
@@ -258,6 +263,12 @@ class ClassifierTrainer:
                     f"Time {batch_time.val:.3f} "
                     f"Speed {self.global_batch / max(batch_time.val, 1e-9):.1f} "
                     f"Lr {lr:.6f} Loss {loss:.4f}")
+                self.metrics_log.write({
+                    "kind": "train", "epoch": epoch,
+                    "step": int(self.state.step), "loss": loss, "lr": lr,
+                    "img_s": round(
+                        self.global_batch / max(batch_time.val, 1e-9), 1),
+                    "batch_time_s": round(batch_time.val, 4)})
 
     def validate(self) -> Tuple[float, float]:
         variables = {"params": self.state.params,
@@ -296,6 +307,10 @@ class ClassifierTrainer:
             return self.validate()
         for epoch in range(self.start_epoch, self.epochs):
             self.train_epoch(epoch)
-            prec1, _ = self.validate()
+            prec1, prec5 = self.validate()
+            self.metrics_log.write({
+                "kind": "eval", "epoch": epoch, "prec1": prec1,
+                "prec5": prec5,
+                "best_prec1": max(prec1, self.best_prec1)})
             self.save(epoch, prec1)
         return self.best_prec1
