@@ -11,16 +11,31 @@ Per batch, the measured pipeline is exactly what a serving loop does:
 Host preprocessing and uploads overlap device execution (async dispatch,
 results fetched one batch behind).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 The reference publishes no throughput number (BASELINE.md), so
 vs_baseline is null.
+
+Survivability contract (round 3 regression: BENCH_r03.json rc=124,
+parsed=null — the e2e median was computed but the process died in the
+unbounded device-resident extras before printing the line):
+  * The primary JSON line is printed + flushed IMMEDIATELY after the
+    e2e window median; everything after it is optional enrichment that
+    goes to bench_last.json + stderr only (stdout stays one line).
+  * A global budget (YOLOV4_BENCH_BUDGET_S, default 1020 s, measured
+    from process start) bounds the whole run: a watchdog thread fires
+    shortly before the deadline, emits the best line it can (median of
+    completed windows, else the backend-down fallback) and exits 0.
+  * The measurement window count adapts to the remaining budget (min 3)
+    so a slow tunnel shrinks the sample instead of killing the run.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 
@@ -35,6 +50,123 @@ import jax  # noqa: E402
 
 from yolov4_tpu.config import load_config  # noqa: E402
 from yolov4_tpu.engine.predictor import Predictor  # noqa: E402
+
+START_TIME = time.time()
+
+# repo-root-anchored: the driver may invoke bench.py from any cwd, and the
+# committed seed (+ updates from successful runs) must stay findable
+LAST_RESULT_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_last.json")
+
+# Watchdog margin: fire this many seconds before the budget deadline so
+# the partial line reaches stdout before any external `timeout` SIGTERM.
+WATCHDOG_MARGIN_S = 12.0
+
+
+def budget_s() -> float:
+    try:
+        return float(os.environ.get("YOLOV4_BENCH_BUDGET_S", "1020"))
+    except ValueError:
+        return 1020.0
+
+
+def deadline() -> float:
+    return START_TIME + budget_s()
+
+
+def remaining() -> float:
+    return deadline() - time.time()
+
+
+# Shared state between the measurement loop and the watchdog. `rates`
+# grows one entry per completed window, so a mid-run watchdog fire can
+# still report an honest median-of-completed-windows.
+_state = {
+    "img_size": 608,
+    "rates": [],
+    "tunnel_MBps": None,
+    "printed": False,
+    "child": None,  # extras subprocess, killed on watchdog fire
+}
+_print_lock = threading.Lock()
+
+
+def _persist_last(result: dict) -> None:
+    try:
+        with open(LAST_RESULT_PATH, "w") as f:
+            json.dump({"recorded_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                                    time.gmtime()),
+                       "source": "bench.py successful run",
+                       "result": result}, f, indent=1)
+    except Exception as e:  # noqa: BLE001
+        print(f"could not persist last result: {e!r}", file=sys.stderr)
+
+
+def emit_primary(result: dict) -> bool:
+    """Print the one driver-facing JSON line (idempotent, flushed)."""
+    with _print_lock:
+        if _state["printed"]:
+            return False
+        _state["printed"] = True
+        print(json.dumps(result), flush=True)
+    _persist_last(result)
+    return True
+
+
+def primary_result(rates, img_size: int, tunnel_MBps=None,
+                   partial: bool = False) -> dict:
+    result = {
+        "metric": f"coco_e2e_images_per_sec_per_chip_{img_size}",
+        "value": round(float(np.median(rates)), 2),
+        "unit": "images/sec",
+        "vs_baseline": None,
+        "windows": len(rates),
+    }
+    if tunnel_MBps is not None:
+        # congestion context: 608^2 u8 planar batch = 1.109 MB/img, so the
+        # e2e upload-bound ceiling is ~ tunnel_MBps / 1.109 (docs/PERF.md)
+        result["tunnel_MBps"] = round(float(tunnel_MBps), 1)
+    if partial:
+        result["partial"] = True
+    return result
+
+
+def _watchdog_emit():
+    """Budget expired: emit the best honest line available (no exit)."""
+    child = _state.get("child")
+    if child is not None:
+        try:
+            child.kill()
+        except Exception:  # noqa: BLE001
+            pass
+    if not _state["printed"]:
+        rates = list(_state["rates"])
+        if rates:
+            emit_primary(primary_result(rates, _state["img_size"],
+                                        _state["tunnel_MBps"], partial=True))
+        else:
+            emit_backend_down(_state["img_size"],
+                              note="budget expired before any e2e window "
+                                   "completed")
+
+
+def _watchdog_fire():
+    _watchdog_emit()
+    sys.stdout.flush()
+    os._exit(0)
+
+
+def start_watchdog() -> threading.Thread:
+    def run():
+        while True:
+            left = deadline() - WATCHDOG_MARGIN_S - time.time()
+            if left <= 0:
+                _watchdog_fire()
+            time.sleep(min(left, 5.0))
+
+    t = threading.Thread(target=run, daemon=True, name="bench-watchdog")
+    t.start()
+    return t
 
 
 def make_sources(n: int, seed: int = 0):
@@ -60,8 +192,10 @@ def ensure_backend() -> bool:
     jax caches a failed init for the life of the process. So the FIRST
     device contact happens in a timeout-bounded SUBPROCESS probe; only
     after one succeeds does this process touch the backend. Returns False
-    if no probe succeeds before the deadline (YOLOV4_BENCH_WAIT_S,
-    default 600 s).
+    if no probe succeeds before the wait deadline (YOLOV4_BENCH_WAIT_S,
+    default 600 s) — which is additionally clamped so that a successful
+    late probe still leaves time for actual measurement windows inside
+    the global budget.
 
     The per-probe timeout (YOLOV4_BENCH_PROBE_S, default 540 s) must
     cover a COLD compile of the probe matmul through the remote-compile
@@ -69,37 +203,34 @@ def ensure_backend() -> bool:
     short timeout would kill a healthy-but-cold backend mid-compile
     forever — the cache entry is only written when the compile finishes).
     """
-    import os
     import subprocess
     code = ("from yolov4_tpu.utils.jax_setup import setup_jax; setup_jax();"
             "import jax, jax.numpy as jnp, numpy as np;"
             "np.asarray(jnp.ones((2,2)) @ jnp.ones((2,2)))")
-    deadline = time.time() + float(os.environ.get("YOLOV4_BENCH_WAIT_S", "600"))
+    wait_s = float(os.environ.get("YOLOV4_BENCH_WAIT_S", "600"))
+    # leave at least ~1/3 of the budget for measurement after a late probe
+    probe_deadline = min(time.time() + wait_s,
+                         deadline() - max(60.0, budget_s() / 3))
     probe_s = float(os.environ.get("YOLOV4_BENCH_PROBE_S", "540"))
     attempt = 0
     while True:
         attempt += 1
+        this_probe_s = max(30.0, min(probe_s, deadline() - time.time()
+                                     - WATCHDOG_MARGIN_S - 5))
         try:
             subprocess.run([sys.executable, "-c", code], check=True,
-                           timeout=probe_s, capture_output=True)
+                           timeout=this_probe_s, capture_output=True)
             return True
         except Exception:
-            if time.time() >= deadline:
+            if time.time() >= probe_deadline:
                 return False
             print(f"backend probe {attempt} failed; retrying in 30s "
-                  f"({int(deadline - time.time())}s left)", file=sys.stderr)
+                  f"({int(probe_deadline - time.time())}s left)",
+                  file=sys.stderr)
             time.sleep(30)
 
 
-# repo-root-anchored: the driver may invoke bench.py from any cwd, and the
-# committed seed (+ updates from successful runs) must stay findable
-import os as _os
-
-LAST_RESULT_PATH = _os.path.join(
-    _os.path.dirname(_os.path.abspath(__file__)), "bench_last.json")
-
-
-def emit_backend_down(img_size: int):
+def emit_backend_down(img_size: int, note: str | None = None):
     """Tunnel still dead after the grace window: emit ONE honest JSON line.
 
     value=0 states the literal truth (a dead backend serves 0 img/s);
@@ -108,31 +239,72 @@ def emit_backend_down(img_size: int):
     (stamped with its own time/source) so the scoreboard keeps the
     hardware-meaningful rates.
     """
-    result = {
-        "metric": f"coco_e2e_images_per_sec_per_chip_{img_size}",
-        "value": 0.0,
-        "unit": "images/sec",
-        "vs_baseline": None,
-        "backend_unavailable": True,
-        "note": "axon tunnel down for the whole grace window; "
-                "see docs/PERF.md for measured device-resident rates",
-    }
+    with _print_lock:
+        if _state["printed"]:
+            return
+        _state["printed"] = True
+        result = {
+            "metric": f"coco_e2e_images_per_sec_per_chip_{img_size}",
+            "value": 0.0,
+            "unit": "images/sec",
+            "vs_baseline": None,
+            "backend_unavailable": True,
+            "note": note or ("axon tunnel down for the whole grace window; "
+                             "see docs/PERF.md for measured device-resident "
+                             "rates"),
+        }
+        try:
+            with open(LAST_RESULT_PATH) as f:
+                result["last_recorded"] = json.load(f)
+        except Exception:  # noqa: BLE001
+            pass
+        print(json.dumps(result), flush=True)
+
+
+def measure_tunnel_MBps(size_mb: int = 16) -> float | None:
+    """Time a fixed-size host->device upload (the e2e bottleneck direction).
+
+    Two uploads, keep the second (the first absorbs one-off backend setup).
+    Cheap (~seconds when healthy) and makes 14-vs-34 img/s rounds
+    attributable: 608^2 u8 planar = 1.109 MB/img => e2e upload ceiling
+    ~= tunnel_MBps / 1.109.
+
+    The payload must be INCOMPRESSIBLE random bytes: a zeros buffer
+    measured 5109 MB/s through a tunnel whose real image throughput was
+    ~24 MB/s (the transport compresses), which would make the field
+    useless for attribution. Camera-noise-like uniform bytes match what
+    the e2e loop actually ships. The clock stops only after fetching a
+    VALUE from the device buffer — block_until_ready was honest when
+    measured (33 vs 30 MB/s with the barrier), but a value round-trip
+    is the one barrier the transport can never satisfy early, and it
+    costs ~40 ms on a 16 MB probe.
+    """
     try:
-        with open(LAST_RESULT_PATH) as f:
-            result["last_recorded"] = json.load(f)
-    except Exception:
-        pass
-    print(json.dumps(result))
+        import jax.numpy as jnp  # noqa: F401
+        arr = np.random.default_rng(0).integers(
+            0, 256, size_mb * 1024 * 1024, np.uint8)
+        rate = None
+        for _ in range(2):
+            t0 = time.time()
+            dev = jax.device_put(arr)
+            np.asarray(dev[-1])  # value fetch: upload provably complete
+            rate = size_mb / (time.time() - t0)
+            del dev
+        return rate
+    except Exception as e:  # noqa: BLE001
+        print(f"tunnel probe failed: {e!r}", file=sys.stderr)
+        return None
 
 
 def parse_args():
     parser = argparse.ArgumentParser()
     parser.add_argument("--img-size", type=int, default=608)
     parser.add_argument("--batch-size", type=int, default=16)
-    # 120 iters -> 12 measurement windows (~2-4 min): the shared tunnel
-    # drifts 2-4x over minutes-long congestion episodes (observed 12-40
-    # img/s across runs of identical programs), so the median needs to
-    # sample a span longer than one episode
+    # 120 iters -> up to 12 measurement windows (~2-4 min): the shared
+    # tunnel drifts 2-4x over minutes-long congestion episodes (observed
+    # 12-40 img/s across runs of identical programs), so the median wants
+    # a span longer than one episode. The actual window count adapts down
+    # to the remaining budget (min 3).
     parser.add_argument("--iters", type=int, default=120)
     parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--conf-thre", type=float, default=0.005)
@@ -141,9 +313,23 @@ def parse_args():
     return parser.parse_args()
 
 
+def plan_windows(requested: int, per_window_s: float, remaining_s: float,
+                 reserve_s: float = 20.0, min_windows: int = 3) -> int:
+    """How many measurement windows fit in the remaining budget.
+
+    Never plans more than `requested`; never fewer than `min_windows`
+    (the watchdog still protects the tail if even those don't fit).
+    """
+    if per_window_s <= 0:
+        return requested
+    fit = int((remaining_s - reserve_s) / per_window_s)
+    return max(min_windows, min(requested, fit))
+
+
 def main(args=None):
     args = args or parse_args()
     size, batch = args.img_size, args.batch_size
+    _state["img_size"] = size
 
     cfg = load_config()
     predictor = Predictor(cfg, img_size=size, batch_size=batch,
@@ -159,6 +345,11 @@ def main(args=None):
     def preprocess_batch(i):
         chunk = [sources[(i * batch + j) % len(sources)] for j in range(batch)]
         return np.stack(list(pool.map(_resize, chunk)))
+
+    _state["tunnel_MBps"] = measure_tunnel_MBps()
+    if _state["tunnel_MBps"] is not None:
+        print(f"tunnel upload: {_state['tunnel_MBps']:.1f} MB/s",
+              file=sys.stderr)
 
     # compile (uint8 variant) + warmup; always dispatch at least once so
     # --warmup 0 still compiles before the throwaway window (and the sync
@@ -186,33 +377,39 @@ def main(args=None):
             np.asarray(inflight.popleft()[1])
         return n_iters * batch / (time.time() - t0)
 
-    windows = max(3, args.iters // 10)
-    per_window = max(5, args.iters // windows)
+    requested_windows = max(3, args.iters // 10)
+    per_window = max(5, args.iters // requested_windows)
+    t_throw = time.time()
     window(3)  # throwaway: tunnel/queue warm-up beyond program compile
-    rates = [window(per_window) for _ in range(windows)]
+    est_window_s = (time.time() - t_throw) / 3 * per_window
+    n_windows = plan_windows(requested_windows, est_window_s, remaining())
+    if n_windows < requested_windows:
+        print(f"budget: planning {n_windows}/{requested_windows} windows "
+              f"(~{est_window_s:.1f}s each, {remaining():.0f}s left)",
+              file=sys.stderr)
+    for _ in range(n_windows):
+        _state["rates"].append(window(per_window))
+        if remaining() < est_window_s + WATCHDOG_MARGIN_S + 5 \
+                and len(_state["rates"]) >= 3:
+            print("budget: stopping windows early", file=sys.stderr)
+            break
+    rates = list(_state["rates"])
     print(f"windows (img/s): {[round(r, 1) for r in rates]}", file=sys.stderr)
-    images_per_sec = float(np.median(rates))
-    result = {
-        "metric": f"coco_e2e_images_per_sec_per_chip_{size}",
-        "value": round(images_per_sec, 2),
-        "unit": "images/sec",
-        "vs_baseline": None,
-    }
+
+    # PRIMARY LINE FIRST — everything below is optional enrichment and
+    # must never endanger the driver artifact (BENCH_r03.json rc=124 was
+    # exactly this ordering bug).
+    result = primary_result(rates, size, _state["tunnel_MBps"])
+    emit_primary(result)
 
     # --- device-resident rates (the hardware-meaningful numbers the shared
     # tunnel hides: e2e above is upload-bandwidth-bound and its windows
-    # drift 2-4x with tunnel congestion; docs/PERF.md). Extra fields only —
-    # the primary metric stays the honest end-to-end number.
-    result.update(device_rates(predictor, preprocess_batch, batch, size))
-    print(json.dumps(result))
-    try:
-        with open(LAST_RESULT_PATH, "w") as f:
-            json.dump({"recorded_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
-                                                    time.gmtime()),
-                       "source": "bench.py successful run",
-                       "result": result}, f, indent=1)
-    except Exception as e:  # noqa: BLE001
-        print(f"could not persist last result: {e!r}", file=sys.stderr)
+    # drift 2-4x with tunnel congestion; docs/PERF.md). These go to
+    # bench_last.json + stderr only: stdout already carries its one line.
+    extras = device_rates(predictor, preprocess_batch, batch, size)
+    result.update(extras)
+    print("extras: " + json.dumps(extras), file=sys.stderr)
+    _persist_last(result)
     return result
 
 
@@ -223,11 +420,10 @@ def device_rates(predictor, preprocess_batch, batch, size):
     (Predictor._run, uint8 flat input) with the input staged on device, so
     no transfer and no new compile is involved. The train step compiles the
     standard 608/b8 training program (persistent-cache warm in normal
-    operation; YOLOV4_BENCH_TRAIN=0 skips it). Any failure degrades to
-    null fields — the primary e2e metric is already computed.
+    operation; YOLOV4_BENCH_TRAIN=0 skips it). Any failure or budget
+    shortfall degrades to null fields — the primary e2e metric is already
+    on stdout.
     """
-    import os
-
     import jax
     import jax.numpy as jnp
 
@@ -255,46 +451,61 @@ def device_rates(predictor, preprocess_batch, batch, size):
         ms = float(np.median([dev_window() for _ in range(5)]))
         extra["device_fwd_nms_ms_b%d" % batch] = round(ms, 2)
         extra["device_fwd_nms_img_s"] = round(batch / (ms / 1000.0), 1)
-    except Exception as e:  # noqa: BLE001 — never endanger the primary metric
+    except Exception as e:  # noqa: BLE001 — primary metric already emitted
         print(f"device fwd+NMS measurement failed: {e!r}", file=sys.stderr)
 
     # int8_static serving preset rate (opt-in serving mode, PERF.md):
-    # measured in a TIMEOUT-BOUNDED subprocess so a cold compilation
-    # cache can never blow the driver's bench budget — on a cache-warm
-    # box it adds ~2 min, on a cold one it's killed and the field stays
-    # null. YOLOV4_BENCH_QUANT_S=0 skips it.
+    # measured in a TIMEOUT-BOUNDED subprocess clamped to the remaining
+    # global budget — on a cache-warm box it adds ~2 min, on a cold or
+    # congested one it's killed (or skipped) and the field stays null.
+    # YOLOV4_BENCH_QUANT_S=0 skips it.
     extra["device_fwd_nms_int8_static_img_s"] = None
     try:
-        # 900 s: the subprocess re-uploads the full weights (~250 MB),
-        # which alone can take minutes when the shared tunnel is congested
-        # (observed: the same cache-warm run takes 3.5 min quiet, >10 min
-        # congested)
+        # 900 s ceiling: the subprocess re-uploads the full weights
+        # (~250 MB), which alone can take minutes when the shared tunnel
+        # is congested (observed: the same cache-warm run takes 3.5 min
+        # quiet, >10 min congested)
         quant_s = float(os.environ.get("YOLOV4_BENCH_QUANT_S", "900"))
     except ValueError:
-        quant_s = 0.0  # malformed value = skip, never lose the e2e metric
-    if quant_s > 0:
+        quant_s = 0.0  # malformed value = skip
+    quant_s = min(quant_s, remaining() - 60)
+    if quant_s > 60:
         import subprocess
         try:
-            proc = subprocess.run(
+            child = subprocess.Popen(
                 [sys.executable, "tools/bench_device.py", "--parts",
                  "serve", "--quant", "int8_static", "--json",
                  "--img-size", str(size), "--batch", str(batch),
                  "--conf-thre", str(predictor.conf_thre),
                  "--nms-thre", str(predictor.nms_thre)],
-                cwd=_os.path.dirname(LAST_RESULT_PATH), timeout=quant_s,
-                capture_output=True, text=True)
-            if proc.returncode != 0:
-                print(f"int8_static bench_device rc={proc.returncode}: "
-                      f"{proc.stderr.strip()[-500:]}", file=sys.stderr)
+                cwd=os.path.dirname(LAST_RESULT_PATH),
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+            _state["child"] = child
+            try:
+                out, err = child.communicate(timeout=quant_s)
+            finally:
+                if child.poll() is None:
+                    child.kill()
+                _state["child"] = None
+            if child.returncode != 0:
+                print(f"int8_static bench_device rc={child.returncode}: "
+                      f"{(err or '').strip()[-500:]}", file=sys.stderr)
             else:
-                data = json.loads(proc.stdout.strip().splitlines()[-1])
+                data = json.loads(out.strip().splitlines()[-1])
                 ms = next(iter(data["results"].values()))
                 extra["device_fwd_nms_int8_static_img_s"] = round(
                     data["batch"] / (ms / 1000.0), 1)
         except Exception as e:  # noqa: BLE001
             print(f"int8_static measurement skipped: {e!r}", file=sys.stderr)
+    else:
+        print(f"int8_static skipped (budget: {remaining():.0f}s left)",
+              file=sys.stderr)
 
     if os.environ.get("YOLOV4_BENCH_TRAIN", "1") != "1":
+        return extra
+    if remaining() < 120:
+        print(f"train-step skipped (budget: {remaining():.0f}s left)",
+              file=sys.stderr)
         return extra
     try:
         from yolov4_tpu.config import load_config as _lc
@@ -342,6 +553,8 @@ def device_rates(predictor, preprocess_batch, batch, size):
         for _ in range(5):
             ms, state = train_window(state)
             ms_w.append(ms)
+            if remaining() < 30:
+                break
         ms = float(np.median(ms_w))
         extra["train_step_ms_608_b8"] = round(ms, 2)
         extra["train_img_s_608_b8"] = round(tb / (ms / 1000.0), 1)
@@ -355,7 +568,13 @@ if __name__ == "__main__":
     # fallback metric name must reflect the requested size (incl. the
     # --img-size=N form)
     _args = parse_args()
+    _state["img_size"] = _args.img_size
+    start_watchdog()
     if ensure_backend():
         main(_args)
     else:
         emit_backend_down(_args.img_size)
+    # exit 0 explicitly: daemon threads / lingering backend handles must
+    # not turn a printed line into a hung process
+    sys.stdout.flush()
+    os._exit(0)

@@ -1,22 +1,48 @@
 """The driver-facing bench.py JSON contract.
 
 The driver parses exactly one JSON line from bench.py at every round end
-(metric/value/unit/vs_baseline). Two shapes exist: a measured run, and —
-because the experimental `axon` tunnel has shown hours-long outages — an
-honest zero-rate fallback that must still parse and must carry the last
+(metric/value/unit/vs_baseline). Three shapes exist: a measured run, a
+watchdog partial (global budget expired mid-measurement — round 3's
+BENCH_r03.json rc=124 is the failure this prevents), and — because the
+experimental `axon` tunnel has shown hours-long outages — an honest
+zero-rate fallback that must still parse and must carry the last
 successful run's hardware-meaningful rates (bench_last.json). These tests
-pin both shapes without touching any backend.
+pin all three shapes without touching any backend.
 """
 import io
 import json
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench
 
 REQUIRED = {"metric", "value", "unit", "vs_baseline"}
+
+
+@pytest.fixture(autouse=True)
+def _reset_state():
+    bench._state["printed"] = False
+    bench._state["rates"] = []
+    bench._state["tunnel_MBps"] = None
+    bench._state["img_size"] = 608
+    bench._state["child"] = None
+    yield
+    bench._state["printed"] = False
+    bench._state["rates"] = []
+
+
+def _stdout_lines(monkeypatch, fn, *args, **kwargs):
+    buf = io.StringIO()
+    monkeypatch.setattr(sys, "stdout", buf)
+    try:
+        fn(*args, **kwargs)
+    finally:
+        monkeypatch.undo()
+    return [ln for ln in buf.getvalue().splitlines() if ln.strip()]
 
 
 def _capture_emit(tmp_path, seed_last=None, monkeypatch=None):
@@ -27,11 +53,7 @@ def _capture_emit(tmp_path, seed_last=None, monkeypatch=None):
     if seed_last is not None:
         with open(path, "w") as f:
             json.dump(seed_last, f)
-    buf = io.StringIO()
-    monkeypatch.setattr(sys, "stdout", buf)
-    bench.emit_backend_down(608)
-    monkeypatch.undo()
-    lines = [ln for ln in buf.getvalue().splitlines() if ln.strip()]
+    lines = _stdout_lines(monkeypatch, bench.emit_backend_down, 608)
     assert len(lines) == 1, "driver expects exactly one JSON line"
     return json.loads(lines[0])
 
@@ -83,3 +105,97 @@ def test_repo_bench_last_json_is_valid_and_consistent():
     assert {"recorded_at", "source", "result"} <= set(last)
     assert REQUIRED <= set(last["result"])
     assert last["result"]["value"] > 0
+
+
+# ---- round-4 survivability contract ---------------------------------
+
+
+def test_primary_result_shape():
+    r = bench.primary_result([10.0, 30.0, 20.0], 608, tunnel_MBps=25.3)
+    assert REQUIRED <= set(r)
+    assert r["value"] == 20.0  # median
+    assert r["metric"] == "coco_e2e_images_per_sec_per_chip_608"
+    assert r["tunnel_MBps"] == 25.3
+    assert r["windows"] == 3
+    assert "partial" not in r
+    p = bench.primary_result([10.0], 416, partial=True)
+    assert p["partial"] is True
+    assert "tunnel_MBps" not in p
+    assert p["metric"] == "coco_e2e_images_per_sec_per_chip_416"
+
+
+def test_emit_primary_is_idempotent_single_line(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "LAST_RESULT_PATH",
+                        str(tmp_path / "bench_last.json"))
+    r = bench.primary_result([20.0, 22.0, 24.0], 608)
+
+    def both():
+        assert bench.emit_primary(r) is True
+        assert bench.emit_primary(r) is False  # second call: no output
+        bench.emit_backend_down(608)  # post-primary fallback: no output
+
+    lines = _stdout_lines(monkeypatch, both)
+    assert len(lines) == 1
+    assert json.loads(lines[0])["value"] == 22.0
+    # persisted incrementally for the backend-down path of FUTURE runs
+    with open(tmp_path / "bench_last.json") as f:
+        assert json.load(f)["result"]["value"] == 22.0
+
+
+def test_watchdog_emits_partial_median(tmp_path, monkeypatch):
+    """Budget expiry mid-measurement still yields a parsable honest line."""
+    monkeypatch.setattr(bench, "LAST_RESULT_PATH",
+                        str(tmp_path / "bench_last.json"))
+    bench._state["rates"] = [18.0, 26.3, 19.7, 19.1]
+    bench._state["tunnel_MBps"] = 21.0
+    lines = _stdout_lines(monkeypatch, bench._watchdog_emit)
+    assert len(lines) == 1
+    d = json.loads(lines[0])
+    assert REQUIRED <= set(d)
+    assert d["partial"] is True
+    assert d["windows"] == 4
+    assert d["value"] == 19.4  # median of the completed windows
+    assert d["tunnel_MBps"] == 21.0
+
+
+def test_watchdog_with_no_windows_falls_back_to_backend_down(
+        tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "LAST_RESULT_PATH",
+                        str(tmp_path / "bench_last.json"))
+    lines = _stdout_lines(monkeypatch, bench._watchdog_emit)
+    assert len(lines) == 1
+    d = json.loads(lines[0])
+    assert d["value"] == 0.0
+    assert d["backend_unavailable"] is True
+    assert "budget expired" in d["note"]
+
+
+def test_watchdog_after_primary_is_silent(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "LAST_RESULT_PATH",
+                        str(tmp_path / "bench_last.json"))
+
+    def seq():
+        bench.emit_primary(bench.primary_result([30.0, 31.0, 32.0], 608))
+        bench._watchdog_emit()
+
+    lines = _stdout_lines(monkeypatch, seq)
+    assert len(lines) == 1, "watchdog must not add a second stdout line"
+
+
+def test_plan_windows_adapts_to_budget():
+    # plenty of budget: plan what was requested
+    assert bench.plan_windows(12, per_window_s=8.0, remaining_s=900) == 12
+    # tight budget: shrink, but never below the minimum of 3
+    assert bench.plan_windows(12, per_window_s=8.0, remaining_s=60) == 5
+    assert bench.plan_windows(12, per_window_s=30.0, remaining_s=40) == 3
+    # unknown window cost: don't guess, keep the request
+    assert bench.plan_windows(12, per_window_s=0.0, remaining_s=40) == 12
+
+
+def test_budget_default_and_override(monkeypatch):
+    monkeypatch.delenv("YOLOV4_BENCH_BUDGET_S", raising=False)
+    assert bench.budget_s() == 1020.0
+    monkeypatch.setenv("YOLOV4_BENCH_BUDGET_S", "120")
+    assert bench.budget_s() == 120.0
+    monkeypatch.setenv("YOLOV4_BENCH_BUDGET_S", "junk")
+    assert bench.budget_s() == 1020.0
