@@ -238,6 +238,91 @@ def test_s2d_wire_layout_matches_nhwc():
         st_n.params, st_s.params)
 
 
+def _trainer_cfg(tmp_path, out_name, max_epochs):
+    cfg = load_config()
+    cfg["MODEL"].update(WIDTH=0.25, DEPTH=0.25, COMPUTE_DTYPE="float32",
+                        BACKBONE_PRETRAINED=None)
+    cfg["TRAIN"].update(IMGSIZE=64, MAX_EPOCHS=max_epochs,
+                        OUTPUT_DIR=str(tmp_path / out_name))
+    cfg["TEST"].update(IMGSIZE=64, BATCH_SIZE=2, PRE_NMS_TOPK=64, MAX_DETS=10)
+    cfg["DATA"].update(WORKERS=0, BATCH_SIZE=1)
+    cfg["AUGMENTATION"].update(IS_MOSAIC=False)
+    return cfg
+
+
+def test_resume_trajectory_matches_straight_run(tmp_path):
+    """train-2-epochs straight == train-1 -> save -> NEW Trainer(resume) ->
+    train-1: identical per-step loss trajectory and final params.
+
+    This is the end-to-end proof behind 'fixes the reference's dead
+    optimizer restore' (reference main_amp.py:159-162: the optimizer/
+    scheduler restore is `hasattr(dict, 'optimizer')` — always False).
+    It requires ALL of: params + BN stats + Adam moments + global step
+    (per-iter warmup LR) restored, AND loader set_epoch determinism
+    across the process boundary — any miss shows up as a diverged loss
+    or params.
+    """
+    import json
+    import os
+
+    from tests.fixtures import make_fake_coco
+    from yolov4_tpu.engine.trainer import Trainer
+
+    root = str(tmp_path / "coco")
+    make_fake_coco(root, "train2017", n_images=16, seed=0)
+    make_fake_coco(root, "val2017", n_images=2, seed=1)
+
+    def train_records(out_dir):
+        path = os.path.join(out_dir, "metrics.jsonl")
+        return [json.loads(l) for l in open(path)
+                if json.loads(l)["kind"] == "train"]
+
+    # straight-through: 2 epochs (16 imgs / local batch 8 = 2 steps/epoch)
+    cfg_a = _trainer_cfg(tmp_path, "out_a", max_epochs=2)
+    trainer_a = Trainer(cfg_a, root)
+    trainer_a.print_freq = 1
+    trainer_a.fit()
+    rec_a = train_records(cfg_a["TRAIN"]["OUTPUT_DIR"])
+    assert int(trainer_a.state.step) == 4
+
+    # interrupted: 1 epoch, checkpoint written by fit()
+    cfg_b = _trainer_cfg(tmp_path, "out_b", max_epochs=1)
+    trainer_b = Trainer(cfg_b, root)
+    trainer_b.print_freq = 1
+    trainer_b.fit()
+    ckpt = os.path.join(cfg_b["TRAIN"]["OUTPUT_DIR"], "checkpoint.ckpt")
+    assert os.path.isfile(ckpt)
+
+    # resumed: fresh process-equivalent (new Trainer), epochs [1, 2)
+    cfg_c = _trainer_cfg(tmp_path, "out_c", max_epochs=2)
+    trainer_c = Trainer(cfg_c, root, resume=ckpt)
+    trainer_c.print_freq = 1
+    assert trainer_c.start_epoch == 1
+    assert int(trainer_c.state.step) == 2
+    trainer_c.fit()
+    rec_c = train_records(cfg_c["TRAIN"]["OUTPUT_DIR"])
+
+    # loss trajectory: epoch-2 records of the straight run == resumed run
+    # (same loader order via set_epoch(1), same warmup LR via restored
+    # global step, same Adam moments via restored opt_state)
+    a2 = [r for r in rec_a if r["epoch"] == 2]
+    assert len(a2) == 2 and len(rec_c) == 2
+    for ra, rc in zip(a2, rec_c):
+        assert ra["step"] == rc["step"]
+        np.testing.assert_allclose(ra["loss"], rc["loss"], rtol=1e-6)
+        np.testing.assert_allclose(ra["lr"], rc["lr"], rtol=1e-9)
+
+    # final params + BN stats identical
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x),
+                                                   np.asarray(y)),
+        trainer_a.state.params, trainer_c.state.params)
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x),
+                                                   np.asarray(y)),
+        trainer_a.state.batch_stats, trainer_c.state.batch_stats)
+
+
 def test_trainer_writes_metrics_jsonl(tmp_path):
     """The trainer's JSONL scalar sink records train + eval scalars
     (machine-readable copy of the stdout log)."""
