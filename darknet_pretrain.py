@@ -49,6 +49,11 @@ def parse_args():
                         help="host->device image wire format (flat s2d/"
                              "planar packing avoids the NHWC lane-pad "
                              "transfer tax; nhwc = debug)")
+    parser.add_argument("--prof", type=int, default=0, metavar="N",
+                        help="capture a jax.profiler trace over N train "
+                             "steps starting at step 10 (reference nvtx "
+                             "window, darknet/main_amp.py:350-427); trace "
+                             "lands in OUTPUT_DIR/profile")
     return parser.parse_args()
 
 
@@ -69,7 +74,7 @@ def main():
         num_classes=args.num_classes, output_dir=args.output_dir,
         print_freq=args.print_freq, resume=args.resume, compute_dtype=dtype,
         seed=args.seed, sync_bn=args.sync_bn,
-        transfer_layout=args.transfer_layout)
+        transfer_layout=args.transfer_layout, profile_steps=args.prof)
     return trainer.fit(evaluate_only=args.evaluate)
 
 

@@ -152,10 +152,16 @@ class ClassifierTrainer:
                  print_freq: int = 10, resume: Optional[str] = None,
                  compute_dtype=jnp.bfloat16, seed: int = 0,
                  sync_bn: bool = False, transfer_layout: str = "s2d",
-                 width: float = 1.0, depth: float = 1.0):
+                 width: float = 1.0, depth: float = 1.0,
+                 profile_steps: int = 0):
         from yolov4_tpu.classify.data import ImageFolderDataset
         from yolov4_tpu.data.pipeline import DataLoader
+        from yolov4_tpu.utils.profiling import StepProfiler
 
+        # trace window over steps [10, 10+profile_steps) — the reference's
+        # nvtx/cudaProfiler `--prof` window (darknet/main_amp.py:350-427)
+        self.profiler = StepProfiler(os.path.join(output_dir, "profile"),
+                                     start=10, count=profile_steps)
         self.print_freq = print_freq
         self.epochs = epochs
         self.output_dir = output_dir
@@ -253,22 +259,29 @@ class ClassifierTrainer:
         for i, (imgs, target) in enumerate(self.train_loader):
             u8, labels = self._put(imgs, target["label"])
             self.state = self.train_step(self.state, u8, labels)
+            if self.profiler.count:
+                # host-side counter: reading state.step would force a sync
+                self._host_step = getattr(self, "_host_step", 0) + 1
+                self.profiler.on_step(self._host_step)
             if (i + 1) % self.print_freq == 0:
                 loss = float(self.state.loss)
                 batch_time.update((time.time() - end) / self.print_freq)
                 end = time.time()
                 lr = float(self.lr_schedule(int(self.state.step) - 1))
                 logger.info(
-                    f"Epoch: [{epoch}][{i + 1}/{n}] "
+                    f"Epoch: [{epoch + 1}][{i + 1}/{n}] "
                     f"Time {batch_time.val:.3f} "
                     f"Speed {self.global_batch / max(batch_time.val, 1e-9):.1f} "
                     f"Lr {lr:.6f} Loss {loss:.4f}")
+                # epoch is 1-based in metrics.jsonl, matching the detection
+                # trainer's records (one schema across both sinks)
                 self.metrics_log.write({
-                    "kind": "train", "epoch": epoch,
+                    "kind": "train", "epoch": epoch + 1,
                     "step": int(self.state.step), "loss": loss, "lr": lr,
                     "img_s": round(
                         self.global_batch / max(batch_time.val, 1e-9), 1),
                     "batch_time_s": round(batch_time.val, 4)})
+        self.profiler.close()
 
     def validate(self) -> Tuple[float, float]:
         variables = {"params": self.state.params,
@@ -288,10 +301,13 @@ class ClassifierTrainer:
         return prec1, prec5
 
     def save(self, epoch: int, prec1: float) -> None:
-        if jax.process_index() != 0:
-            return
+        # best-metric tracking on EVERY process (fit() returns it); only
+        # the file IO is primary-only — and it is the ONE place best_prec1
+        # is updated (the eval record in fit() reads the attribute after)
         is_best = prec1 > self.best_prec1
         self.best_prec1 = max(prec1, self.best_prec1)
+        if jax.process_index() != 0:
+            return
         bundle = {
             "variables": {"params": self.state.params,
                           "batch_stats": self.state.batch_stats},
@@ -308,9 +324,8 @@ class ClassifierTrainer:
         for epoch in range(self.start_epoch, self.epochs):
             self.train_epoch(epoch)
             prec1, prec5 = self.validate()
+            self.save(epoch, prec1)  # updates best_prec1 (single place)
             self.metrics_log.write({
-                "kind": "eval", "epoch": epoch, "prec1": prec1,
-                "prec5": prec5,
-                "best_prec1": max(prec1, self.best_prec1)})
-            self.save(epoch, prec1)
+                "kind": "eval", "epoch": epoch + 1, "prec1": prec1,
+                "prec5": prec5, "best_prec1": self.best_prec1})
         return self.best_prec1

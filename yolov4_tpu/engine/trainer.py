@@ -252,11 +252,14 @@ class Trainer:
                         nms_threshold=self.cfg["TEST"]["NMSTHRE"])
 
     def save(self, epoch: int, ap50: float, ap50_95: float) -> None:
-        if not self.is_primary:
-            return
+        # best-metric tracking runs on EVERY process (validate() already
+        # broadcast the APs), so fit() returns the same values on all
+        # ranks; only the file IO below is primary-only.
         is_best = ap50 > self.best_ap50
         self.best_ap50 = max(ap50, self.best_ap50)
         self.best_ap50_95 = max(ap50_95, self.best_ap50_95)
+        if not self.is_primary:
+            return
         bundle = {
             "variables": {"params": self.state.params,
                           "batch_stats": self.state.batch_stats},
@@ -285,12 +288,12 @@ class Trainer:
             # (validate() allgathers rows, scores on the primary, barriers,
             # and broadcasts the APs back)
             ap, ap50 = self.evaluate()
+            self.save(epoch, ap50, ap)  # all ranks: updates best_* (the
+            # one place they change; the record below reads the attribute)
             if self.is_primary:
                 logger.info(f"epoch {epoch + 1}: AP {ap:.5f} AP50 {ap50:.5f} "
-                            f"(best AP50 {max(ap50, self.best_ap50):.5f})")
+                            f"(best AP50 {self.best_ap50:.5f})")
                 self.metrics_log.write({
                     "kind": "eval", "epoch": epoch + 1, "ap": ap,
-                    "ap50": ap50,
-                    "best_ap50": max(ap50, self.best_ap50)})
-                self.save(epoch, ap50, ap)
+                    "ap50": ap50, "best_ap50": self.best_ap50})
         return self.best_ap50_95, self.best_ap50
