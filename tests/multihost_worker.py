@@ -27,6 +27,7 @@ NPROCS = int(sys.argv[2])
 PORT = sys.argv[3]
 DATA_ROOT = sys.argv[4]
 OUT_DIR = sys.argv[5]
+UNEVEN_ROOT = sys.argv[6] if len(sys.argv) > 6 else None
 
 os.environ["XLA_FLAGS"] = (
     "--xla_force_host_platform_device_count=4 "
@@ -121,7 +122,37 @@ def check_quant_calibrate():
     print(f"MHOK quant pid={PID} scalesum={fp:.9e}", flush=True)
 
 
+def check_uneven_eval(root):
+    """Sharded eval of a dataset whose size is NOT divisible by
+    process_count (7 imgs / 2 procs): the per-process loaders wrap-pad, so
+    one image is predicted on BOTH processes and validate() must dedup the
+    wrapped copies. An oracle predictor (emits the GT boxes) makes the
+    check non-vacuous: dedup working => AP exactly equals the
+    single-process run the pytest side computes (~1.0); dedup broken =>
+    the duplicate image double-counts its GTs / adds duplicate FPs and AP
+    drops."""
+    from tests.test_evaluator import DistinctScoreOracle, LoaderWithHook
+    from yolov4_tpu.config import load_config
+    from yolov4_tpu.data.coco import COCODataset
+    from yolov4_tpu.data.pipeline import DataLoader
+    from yolov4_tpu.data.transforms import Transform
+    from yolov4_tpu.engine.evaluator import validate
+
+    cfg = load_config()
+    ds = COCODataset(root, "val2017", img_size=128, is_train=False,
+                     transform=Transform(cfg, is_train=False))
+    assert len(ds) % NPROCS != 0, (len(ds), NPROCS)
+    loader = DataLoader(ds, batch_size=2, shuffle=False,
+                        process_index=PID, process_count=NPROCS)
+    pred = DistinctScoreOracle()
+    ap, ap50 = validate(LoaderWithHook(loader, pred), pred, verbose=False)
+    print(f"MHOK uneven pid={PID} n={len(ds)} ap={ap:.9f} ap50={ap50:.9f}",
+          flush=True)
+
+
 check_gather_rows()
 check_quant_calibrate()
+if UNEVEN_ROOT:
+    check_uneven_eval(UNEVEN_ROOT)
 run_trainer()
 print(f"MHOK done pid={PID}", flush=True)

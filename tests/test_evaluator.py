@@ -48,6 +48,24 @@ class OraclePredictor:
         return det, valid
 
 
+class DistinctScoreOracle(OraclePredictor):
+    """Oracle whose objectness is a deterministic function of the image id
+    (1 - 1e-3*id): global detection ordering under the evaluator's stable
+    score sort is then independent of row gather order, so AP comparisons
+    between differently-ordered runs (e.g. multi-process allgather vs
+    single process) are exact."""
+
+    def attach(self, target):
+        super().attach(target)
+        self._infos = target["img_info"]
+
+    def __call__(self, imgs):
+        det, valid = super().__call__(imgs)
+        for i in range(det.shape[0]):
+            det[i, :, 4] = 1.0 - 1e-3 * float(self._infos[i][-2])
+        return det, valid
+
+
 class LoaderWithHook:
     def __init__(self, loader, predictor):
         self.loader = loader

@@ -35,6 +35,10 @@ def test_two_process_train_eval_checkpoint(tmp_path):
     root = str(tmp_path / "coco")
     make_fake_coco(root, "train2017", n_images=8, seed=3)
     make_fake_coco(root, "val2017", n_images=8, seed=4)
+    # 7 % 2 != 0: forces per-process wrap padding in the sharded loaders,
+    # whose dedup the workers' uneven-eval check exercises
+    uneven_root = str(tmp_path / "coco_uneven")
+    make_fake_coco(uneven_root, "val2017", n_images=7, seed=5)
     out_dir = str(tmp_path / "out")
     os.makedirs(out_dir, exist_ok=True)
 
@@ -44,7 +48,7 @@ def test_two_process_train_eval_checkpoint(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(REPO, "tests", "multihost_worker.py"),
-             str(pid), "2", str(port), root, out_dir],
+             str(pid), "2", str(port), root, out_dir, uneven_root],
             cwd=REPO, env=env, text=True,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for pid in range(2)
@@ -88,3 +92,43 @@ def test_two_process_train_eval_checkpoint(tmp_path):
     assert f0["batches"] == f1["batches"] == "1", (f0, f1)
     assert "MHOK ckpt pid=0" in outs[0]
     assert os.path.isfile(os.path.join(out_dir, "checkpoint.ckpt"))
+
+    # uneven dataset (7 imgs / 2 procs): the sharded loaders wrap-pad, so
+    # one image is predicted on BOTH processes — validate() must dedup the
+    # wrapped copies. With the oracle predictor the outcome is decisive:
+    # dedup works => AP == the single-process run (~1.0); dedup broken =>
+    # duplicate GTs/FPs drag it down.
+    def uneven_line(out, pid):
+        prefix = f"MHOK uneven pid={pid} "
+        for line in out.splitlines():
+            if line.startswith(prefix):
+                return dict(kv.split("=")
+                            for kv in line[len(prefix):].split())
+        raise AssertionError(f"no uneven line for pid {pid}")
+
+    u0, u1 = uneven_line(outs[0], 0), uneven_line(outs[1], 1)
+    assert u0 == u1, (u0, u1)
+    assert u0["n"] == "7"
+    assert float(u0["ap50"]) > 0.99, u0  # non-vacuous: oracle must score
+    ref_ap, ref_ap50 = _single_process_uneven_reference(uneven_root)
+    assert abs(float(u0["ap"]) - ref_ap) < 1e-9, (u0, ref_ap)
+    assert abs(float(u0["ap50"]) - ref_ap50) < 1e-9, (u0, ref_ap50)
+
+
+def _single_process_uneven_reference(root):
+    """The same oracle eval as multihost_worker.check_uneven_eval, run in
+    THIS process (process_count=1: no wrap padding, no dedup): the ground
+    truth the 2-process wrap-pad dedup must reproduce exactly."""
+    from tests.test_evaluator import DistinctScoreOracle, LoaderWithHook
+    from yolov4_tpu.config import load_config
+    from yolov4_tpu.data.coco import COCODataset
+    from yolov4_tpu.data.pipeline import DataLoader
+    from yolov4_tpu.data.transforms import Transform
+    from yolov4_tpu.engine.evaluator import validate
+
+    cfg = load_config()
+    ds = COCODataset(root, "val2017", img_size=128, is_train=False,
+                     transform=Transform(cfg, is_train=False))
+    loader = DataLoader(ds, batch_size=2, shuffle=False)
+    pred = DistinctScoreOracle()
+    return validate(LoaderWithHook(loader, pred), pred, verbose=False)
