@@ -42,6 +42,67 @@ from yolov4_tpu.optim import build_lr_schedule, build_optimizer
 from yolov4_tpu.parallel import create_mesh, create_train_state, make_train_step
 
 
+def report_recipe_curve(output_dir, milestones):
+    """Print the per-epoch held-out AP curve from metrics.jsonl and say
+    whether the post-milestone LR drop measurably helped (mean AP50 of the
+    post-first-milestone epochs vs the 3 epochs just before it)."""
+    import json
+    path = os.path.join(output_dir, "metrics.jsonl")
+    evals = [json.loads(l) for l in open(path)]
+    evals = [r for r in evals if r.get("kind") == "eval"]
+    curve = [(r["epoch"], r["ap"], r["ap50"]) for r in evals]
+    print("held-out AP curve (epoch, AP, AP50):")
+    for e, ap, ap50 in curve:
+        mark = " <- milestone" if e - 1 in milestones else ""
+        print(f"  {e:3d}  {ap:.3f}  {ap50:.3f}{mark}")
+    m0 = milestones[0]
+    pre = [ap50 for e, _, ap50 in curve if m0 - 3 < e <= m0]
+    post = [ap50 for e, _, ap50 in curve if e > m0]
+    if pre and post:
+        print(f"post-milestone LR drop: mean AP50 {np.mean(pre):.3f} "
+              f"(3 epochs pre) -> {np.mean(post):.3f} (post), "
+              f"delta {np.mean(post) - np.mean(pre):+.4f}")
+
+
+def quant_ab(cfg, variables, root, S, B):
+    """Held-out-split accuracy of the serving presets vs bf16 on the SAME
+    params (the train-set-only overfit numbers were weaker evidence: bf16
+    run-to-run spread there is the same magnitude as the quant delta)."""
+    import copy
+
+    val_ds = COCODataset(root, "val2017", img_size=S, is_train=False,
+                         transform=Transform(cfg, is_train=False,
+                                             keep_uint8=True))
+
+    def score(mode_cfg):
+        pred = Predictor(mode_cfg, variables=variables, img_size=S,
+                         batch_size=B, conf_thre=0.3, nms_thre=0.4)
+        return validate(DataLoader(val_ds, batch_size=B, shuffle=False),
+                        pred, verbose=False)
+
+    base_cfg = copy.deepcopy(dict(cfg))
+    base_cfg["MODEL"]["QUANT"] = "none"
+    base_cfg["TEST"]["APPROX_TOPK"] = False
+    ap, ap50 = score(base_cfg)
+    print(f"bf16 held-out (same params): AP {ap:.3f} AP50 {ap50:.3f}")
+    presets = [("int8/late", {"QUANT": "int8", "QUANT_SPAN": "late"}, {}),
+               ("int8/full", {"QUANT": "int8", "QUANT_SPAN": "full"}, {}),
+               ("int8_static/late",
+                {"QUANT": "int8_static", "QUANT_SPAN": "late"}, {}),
+               ("int8_static/full",
+                {"QUANT": "int8_static", "QUANT_SPAN": "full"}, {}),
+               ("approx_topk", {}, {"APPROX_TOPK": True})]
+    for name, mupd, tupd in presets:
+        qcfg = copy.deepcopy(dict(cfg))
+        qcfg["MODEL"]["QUANT"] = "none"
+        qcfg["TEST"]["APPROX_TOPK"] = False
+        qcfg["MODEL"].update(mupd)
+        qcfg["TEST"].update(tupd)
+        qap, qap50 = score(qcfg)
+        print(f"{name:18s} held-out: AP {qap:.3f} (delta {qap - ap:+.4f}) "
+              f"AP50 {qap50:.3f} (delta {qap50 - ap50:+.4f})")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--epochs", type=int, default=40)
@@ -60,6 +121,21 @@ def main():
     parser.add_argument("--device-aug", action="store_true",
                         help="with --use-trainer: run the augmentation on "
                              "device (AUGMENTATION.DEVICE)")
+    parser.add_argument("--recipe", action="store_true",
+                        help="with --use-trainer: the FULL reference "
+                             "training recipe scaled to the smoke — "
+                             "per-iter warmup (2 ep) -> Adam -> MultiStep "
+                             "milestones at [2/3, 5/6]*epochs (gamma 0.1) "
+                             "-> accumulation 2 -> per-epoch held-out eval "
+                             "-> best-AP50 ckpt (reference "
+                             "main_amp.py:190-229 + lr_schedulers/"
+                             "build.py:17-27); prints the AP curve and "
+                             "whether the post-milestone LR drop helped")
+    parser.add_argument("--quant-eval", action="store_true",
+                        help="after training, score the HELD-OUT split "
+                             "through the int8 / int8_static / approx-topk "
+                             "serving presets and report AP deltas vs the "
+                             "bf16 eval of the same params")
     args = parser.parse_args()
     S, B = args.img_size, args.batch_size
 
@@ -106,12 +182,29 @@ def main():
         cfg["TRAIN"].update(MAX_EPOCHS=args.epochs,
                             OUTPUT_DIR=os.path.join(args.root, "out"))
         cfg["DATA"].update(WORKERS=0, BATCH_SIZE=B)
+        milestones = []
+        if args.recipe:
+            # the reference recipe composed end-to-end, epoch counts scaled
+            # from 90/[50,70,80]/warmup-5/accum-1|4 down to the smoke
+            milestones = sorted({max(2, round(args.epochs * 2 / 3)),
+                                 max(3, round(args.epochs * 5 / 6))})
+            cfg["LR_SCHEDULER"].update(TYPE="MultiStepLR",
+                                       MILESTONES=milestones, GAMMA=0.1,
+                                       IS_WARMUP=True, WARMUP_EPOCH=2)
+            cfg["TRAIN"]["ACCUMULATION_STEPS"] = 2
         t0 = time.time()
         trainer = Trainer(cfg, args.root)
         best_ap, best_ap50 = trainer.fit()
         print(f"TRAINER mode ({'device' if args.device_aug else 'host'} "
-              f"aug): best held-out AP {best_ap:.3f} AP50 {best_ap50:.3f} "
+              f"aug{', full recipe' if args.recipe else ''}): "
+              f"best held-out AP {best_ap:.3f} AP50 {best_ap50:.3f} "
               f"in {time.time() - t0:.0f}s")
+        if args.recipe:
+            report_recipe_curve(cfg["TRAIN"]["OUTPUT_DIR"], milestones)
+        if args.quant_eval:
+            variables = {"params": trainer.state.params,
+                         "batch_stats": trainer.state.batch_stats}
+            quant_ab(cfg, variables, args.root, S, B)
         if args.assert_ap50 >= 0:
             assert best_ap50 >= args.assert_ap50, (
                 f"held-out AP50 {best_ap50:.3f} < {args.assert_ap50}")
@@ -165,6 +258,9 @@ def main():
     print(f"HELD-OUT val: AP {ap:.3f} AP50 {ap50:.3f} | "
           f"train split: AP {tr_ap:.3f} AP50 {tr_ap50:.3f} | "
           f"{it} steps in {dt:.0f}s")
+    if args.quant_eval:
+        quant_ab(cfg, {"params": state.params,
+                       "batch_stats": state.batch_stats}, args.root, S, B)
     if args.assert_ap50 >= 0:
         assert ap50 >= args.assert_ap50, (
             f"held-out AP50 {ap50:.3f} < {args.assert_ap50}")
