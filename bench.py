@@ -21,10 +21,14 @@ unbounded device-resident extras before printing the line):
   * The primary JSON line is printed + flushed IMMEDIATELY after the
     e2e window median; everything after it is optional enrichment that
     goes to bench_last.json + stderr only (stdout stays one line).
-  * A global budget (YOLOV4_BENCH_BUDGET_S, default 1020 s, measured
+  * A global budget (YOLOV4_BENCH_BUDGET_S, default 780 s, measured
     from process start) bounds the whole run: a watchdog thread fires
     shortly before the deadline, emits the best line it can (median of
     completed windows, else the backend-down fallback) and exits 0.
+    The driver's own timeout is unknown (rc=124 kills observed); 780 s
+    sits inside every plausible value — a round-2 run of ~8 min
+    survived it, so it is > ~500 s — while still fitting congested
+    12-window medians (~2-9 s/window) plus the backend grace probe.
   * The measurement window count adapts to the remaining budget (min 3)
     so a slow tunnel shrinks the sample instead of killing the run.
 """
@@ -65,9 +69,9 @@ WATCHDOG_MARGIN_S = 12.0
 
 def budget_s() -> float:
     try:
-        return float(os.environ.get("YOLOV4_BENCH_BUDGET_S", "1020"))
+        return float(os.environ.get("YOLOV4_BENCH_BUDGET_S", "780"))
     except ValueError:
-        return 1020.0
+        return 780.0
 
 
 def deadline() -> float:
@@ -103,13 +107,20 @@ def _persist_last(result: dict) -> None:
 
 
 def emit_primary(result: dict) -> bool:
-    """Print the one driver-facing JSON line (idempotent, flushed)."""
+    """Print the one driver-facing JSON line (idempotent, flushed).
+
+    Only FULL successful results persist to bench_last.json: a watchdog
+    partial (median of as few as one window, no device extras) or a
+    fallback line must not clobber the last complete record that
+    emit_backend_down re-publishes as `last_recorded`."""
     with _print_lock:
         if _state["printed"]:
             return False
         _state["printed"] = True
         print(json.dumps(result), flush=True)
-    _persist_last(result)
+    if not (result.get("partial") or result.get("backend_unavailable")
+            or result.get("budget_expired")):
+        _persist_last(result)
     return True
 
 
@@ -131,8 +142,12 @@ def primary_result(rates, img_size: int, tunnel_MBps=None,
     return result
 
 
-def _watchdog_emit():
-    """Budget expired: emit the best honest line available (no exit)."""
+def _watchdog_emit(note: str = "budget expired before any e2e window "
+                               "completed"):
+    """Budget expired (or in-run crash): emit the best honest line
+    available (no exit). Zero windows is reported as budget_expired, NOT
+    backend_unavailable — a healthy-but-cold backend that spent the
+    budget compiling is not an outage."""
     child = _state.get("child")
     if child is not None:
         try:
@@ -145,9 +160,8 @@ def _watchdog_emit():
             emit_primary(primary_result(rates, _state["img_size"],
                                         _state["tunnel_MBps"], partial=True))
         else:
-            emit_backend_down(_state["img_size"],
-                              note="budget expired before any e2e window "
-                                   "completed")
+            emit_backend_down(_state["img_size"], note=note,
+                              flag="budget_expired")
 
 
 def _watchdog_fire():
@@ -230,35 +244,35 @@ def ensure_backend() -> bool:
             time.sleep(30)
 
 
-def emit_backend_down(img_size: int, note: str | None = None):
-    """Tunnel still dead after the grace window: emit ONE honest JSON line.
+def emit_backend_down(img_size: int, note: str | None = None,
+                      flag: str = "backend_unavailable"):
+    """No measured windows: emit ONE honest JSON line.
 
     value=0 states the literal truth (a dead backend serves 0 img/s);
-    backend_unavailable distinguishes it from a measured regression, and
-    last_recorded carries the most recent SUCCESSFUL run's full result
-    (stamped with its own time/source) so the scoreboard keeps the
-    hardware-meaningful rates.
-    """
-    with _print_lock:
-        if _state["printed"]:
-            return
-        _state["printed"] = True
-        result = {
-            "metric": f"coco_e2e_images_per_sec_per_chip_{img_size}",
-            "value": 0.0,
-            "unit": "images/sec",
-            "vs_baseline": None,
-            "backend_unavailable": True,
-            "note": note or ("axon tunnel down for the whole grace window; "
-                             "see docs/PERF.md for measured device-resident "
-                             "rates"),
-        }
-        try:
-            with open(LAST_RESULT_PATH) as f:
-                result["last_recorded"] = json.load(f)
-        except Exception:  # noqa: BLE001
-            pass
-        print(json.dumps(result), flush=True)
+    `flag` distinguishes the cause machine-readably — backend_unavailable
+    (tunnel dead through the grace window) vs budget_expired (backend up
+    but the budget ran out before a window completed, e.g. a cold-cache
+    compile). last_recorded carries the most recent SUCCESSFUL run's full
+    result (stamped with its own time/source) so the scoreboard keeps the
+    hardware-meaningful rates. Emission goes through emit_primary (one
+    idempotent critical section; partial/fallback results never persist
+    over the last full record)."""
+    result = {
+        "metric": f"coco_e2e_images_per_sec_per_chip_{img_size}",
+        "value": 0.0,
+        "unit": "images/sec",
+        "vs_baseline": None,
+        flag: True,
+        "note": note or ("axon tunnel down for the whole grace window; "
+                         "see docs/PERF.md for measured device-resident "
+                         "rates"),
+    }
+    try:
+        with open(LAST_RESULT_PATH) as f:
+            result["last_recorded"] = json.load(f)
+    except Exception:  # noqa: BLE001
+        pass
+    emit_primary(result)
 
 
 def measure_tunnel_MBps(size_mb: int = 16) -> float | None:
@@ -278,6 +292,13 @@ def measure_tunnel_MBps(size_mb: int = 16) -> float | None:
     measured (33 vs 30 MB/s with the barrier), but a value round-trip
     is the one barrier the transport can never satisfy early, and it
     costs ~40 ms on a 16 MB probe.
+
+    Cold-cache caveat: the dev[-1] gather is its own (tiny) XLA program,
+    so the FIRST round on an empty .jax_cache pays one extra remote
+    compile here. The first loop iteration absorbs it (only the second
+    upload is reported), and the watchdog bounds the wall-clock; a fully
+    cold cache cannot produce a measured e2e line inside the budget
+    anyway (the predictor compile alone is 5-10 min).
     """
     try:
         import jax.numpy as jnp  # noqa: F401
@@ -468,8 +489,17 @@ def device_rates(predictor, preprocess_batch, batch, size):
         quant_s = float(os.environ.get("YOLOV4_BENCH_QUANT_S", "900"))
     except ValueError:
         quant_s = 0.0  # malformed value = skip
-    quant_s = min(quant_s, remaining() - 60)
-    if quant_s > 60:
+    # honor small explicit timeouts; only the BUDGET clamp can skip a
+    # positive request, and the skip message says which reason applied
+    budget_room = remaining() - 60
+    if quant_s <= 0:
+        print("int8_static skipped (YOLOV4_BENCH_QUANT_S<=0)",
+              file=sys.stderr)
+    elif budget_room < min(quant_s, 30):
+        print(f"int8_static skipped (budget: {remaining():.0f}s left)",
+              file=sys.stderr)
+    else:
+        quant_s = min(quant_s, budget_room)
         import subprocess
         try:
             child = subprocess.Popen(
@@ -497,9 +527,6 @@ def device_rates(predictor, preprocess_batch, batch, size):
                     data["batch"] / (ms / 1000.0), 1)
         except Exception as e:  # noqa: BLE001
             print(f"int8_static measurement skipped: {e!r}", file=sys.stderr)
-    else:
-        print(f"int8_static skipped (budget: {remaining():.0f}s left)",
-              file=sys.stderr)
 
     if os.environ.get("YOLOV4_BENCH_TRAIN", "1") != "1":
         return extra
@@ -570,10 +597,20 @@ if __name__ == "__main__":
     _args = parse_args()
     _state["img_size"] = _args.img_size
     start_watchdog()
-    if ensure_backend():
-        main(_args)
-    else:
-        emit_backend_down(_args.img_size)
+    try:
+        if ensure_backend():
+            main(_args)
+        else:
+            emit_backend_down(_args.img_size)
+    except BaseException as e:  # noqa: BLE001 — the driver artifact must
+        # always get a line: a tunnel that dies AFTER the probe succeeded
+        # (dispatch/compile raising XlaRuntimeError) would otherwise exit
+        # with a traceback and zero stdout JSON (the r03 failure class,
+        # through a different door)
+        import traceback
+        traceback.print_exc()
+        _watchdog_emit(note=f"bench crashed mid-run: {type(e).__name__}: "
+                            f"{e}"[:300])
     # exit 0 explicitly: daemon threads / lingering backend handles must
     # not turn a printed line into a hung process
     sys.stdout.flush()

@@ -156,18 +156,39 @@ def test_watchdog_emits_partial_median(tmp_path, monkeypatch):
     assert d["windows"] == 4
     assert d["value"] == 19.4  # median of the completed windows
     assert d["tunnel_MBps"] == 21.0
+    # a degraded partial (few windows, no device extras) must NOT clobber
+    # the last FULL record future backend-down lines re-publish
+    assert not os.path.exists(tmp_path / "bench_last.json")
 
 
-def test_watchdog_with_no_windows_falls_back_to_backend_down(
+def test_watchdog_with_no_windows_reports_budget_expired(
         tmp_path, monkeypatch):
+    """Zero windows at budget expiry is NOT an outage claim: a healthy
+    backend that spent the budget compiling must not be recorded as
+    backend_unavailable."""
     monkeypatch.setattr(bench, "LAST_RESULT_PATH",
                         str(tmp_path / "bench_last.json"))
     lines = _stdout_lines(monkeypatch, bench._watchdog_emit)
     assert len(lines) == 1
     d = json.loads(lines[0])
     assert d["value"] == 0.0
-    assert d["backend_unavailable"] is True
+    assert d["budget_expired"] is True
+    assert "backend_unavailable" not in d
     assert "budget expired" in d["note"]
+    assert not os.path.exists(tmp_path / "bench_last.json")
+
+
+def test_crash_note_reaches_fallback_line(tmp_path, monkeypatch):
+    """The __main__ guard routes in-run crashes through _watchdog_emit
+    with the exception in the note (zero stdout lines would lose the
+    round)."""
+    monkeypatch.setattr(bench, "LAST_RESULT_PATH",
+                        str(tmp_path / "bench_last.json"))
+    lines = _stdout_lines(monkeypatch, bench._watchdog_emit,
+                          note="bench crashed mid-run: XlaRuntimeError: x")
+    d = json.loads(lines[0])
+    assert d["budget_expired"] is True
+    assert "XlaRuntimeError" in d["note"]
 
 
 def test_watchdog_after_primary_is_silent(tmp_path, monkeypatch):
@@ -193,9 +214,11 @@ def test_plan_windows_adapts_to_budget():
 
 
 def test_budget_default_and_override(monkeypatch):
+    # 780 s default: inside every plausible driver timeout (see bench.py
+    # module docstring) while fitting congested 12-window medians
     monkeypatch.delenv("YOLOV4_BENCH_BUDGET_S", raising=False)
-    assert bench.budget_s() == 1020.0
+    assert bench.budget_s() == 780.0
     monkeypatch.setenv("YOLOV4_BENCH_BUDGET_S", "120")
     assert bench.budget_s() == 120.0
     monkeypatch.setenv("YOLOV4_BENCH_BUDGET_S", "junk")
-    assert bench.budget_s() == 1020.0
+    assert bench.budget_s() == 780.0
