@@ -124,7 +124,8 @@ def main():
 
     srv = make_server(runtime, host=args.host, port=args.port)
     logger.info(f"serving on http://{args.host}:{srv.server_address[1]} — "
-                f"POST /v1/detect, GET /healthz /metrics /stats /v1/config")
+                f"POST /v1/detect /v1/detect_raw, "
+                f"GET /healthz /metrics /stats /v1/config")
 
     import signal
 

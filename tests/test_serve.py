@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from yolov4_tpu.config import load_config
 from yolov4_tpu.engine.predictor import Predictor
 from yolov4_tpu.serve import (DynamicBatcher, ServingRuntime, make_server,
-                              serve_background)
+                              result_to_json, serve_background)
 
 SIZE = 64
 
@@ -308,6 +308,39 @@ def test_http_detect_roundtrip(http_runtime):
                                    data=jpeg.tobytes(), method="POST"),
             timeout=180) as r:
         assert json.loads(r.read())["img_size"] == 32
+
+
+def test_http_detect_raw_matches_direct(http_runtime):
+    """/v1/detect_raw (pre-decoded BGR bytes, no server-side jpeg decode)
+    returns exactly what the runtime computes for the same pixels."""
+    rt, base = http_runtime
+    img = np.random.default_rng(9).integers(0, 256, (41, 53, 3), np.uint8)
+    req = urllib.request.Request(
+        f"{base}/v1/detect_raw?h=41&w=53", data=img.tobytes(),
+        method="POST")
+    with urllib.request.urlopen(req, timeout=180) as r:
+        assert r.status == 200
+        body = json.loads(r.read())
+    direct = result_to_json(rt.detect(img))
+    for k in ("img_size", "num_detections", "detections"):
+        assert body[k] == direct[k], k
+
+
+def test_http_detect_raw_error_paths(http_runtime):
+    rt, base = http_runtime
+    img = np.zeros((8, 8, 3), np.uint8)
+    # missing shape params
+    req = urllib.request.Request(f"{base}/v1/detect_raw",
+                                 data=img.tobytes(), method="POST")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=60)
+    assert ei.value.code == 400
+    # body length disagrees with h*w*3
+    req = urllib.request.Request(f"{base}/v1/detect_raw?h=9&w=9",
+                                 data=img.tobytes(), method="POST")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=60)
+    assert ei.value.code == 400
 
 
 def test_http_health_config_metrics(http_runtime):

@@ -109,28 +109,40 @@ def bench_runtime(rt: ServingRuntime, images: np.ndarray,
 
 def bench_http(rt: ServingRuntime, images: np.ndarray,
                concurrency: int, size: int) -> dict:
+    """Measure both HTTP bodies: jpeg (/v1/detect, pays the host-CPU
+    decode — the bound on 1-CPU hosts) and raw BGR (/v1/detect_raw,
+    what a pre-decoded upstream ships — runtime-speed path)."""
     import cv2
     import urllib.request
     srv = make_server(rt, port=0)
     serve_background(srv)
-    url = (f"http://127.0.0.1:{srv.server_address[1]}/v1/detect"
-           f"?size={size}")
-    jpegs = [cv2.imencode(".jpg", img)[1].tobytes() for img in images]
-    lat = []
-    t0 = time.perf_counter()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    h, w = images.shape[1:3]
+    modes = {
+        "jpeg": (f"{base}/v1/detect?size={size}",
+                 [cv2.imencode(".jpg", img)[1].tobytes() for img in images]),
+        "raw": (f"{base}/v1/detect_raw?h={h}&w={w}&size={size}",
+                [img.tobytes() for img in images]),
+    }
+    out = {}
+    for mode, (url, bodies) in modes.items():
+        lat = []
+        t0 = time.perf_counter()
 
-    def one(i):
-        t = time.perf_counter()
-        req = urllib.request.Request(url, data=jpegs[i], method="POST")
-        with urllib.request.urlopen(req, timeout=600) as r:
-            json.loads(r.read())
-        lat.append((time.perf_counter() - t) * 1e3)
+        def one(i):
+            t = time.perf_counter()
+            req = urllib.request.Request(url, data=bodies[i], method="POST")
+            with urllib.request.urlopen(req, timeout=600) as r:
+                json.loads(r.read())
+            lat.append((time.perf_counter() - t) * 1e3)
 
-    with ThreadPoolExecutor(max_workers=concurrency) as ex:
-        list(ex.map(one, range(len(jpegs))))
-    dt = time.perf_counter() - t0
+        with ThreadPoolExecutor(max_workers=concurrency) as ex:
+            list(ex.map(one, range(len(bodies))))
+        dt = time.perf_counter() - t0
+        out[mode] = {"img_s": round(len(bodies) / dt, 1),
+                     "latency_ms": _quantiles(lat)}
     srv.shutdown()
-    return {"img_s": round(len(jpegs) / dt, 1), "latency_ms": _quantiles(lat)}
+    return out
 
 
 def main():

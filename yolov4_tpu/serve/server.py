@@ -11,6 +11,11 @@ Endpoints:
       -> {"detections": [{"box": [x1,y1,x2,y2], "score": s,
            "class_id": c, "class_name": "..."}], "img_size": n,
           "timings_ms": {...}}
+  POST /v1/detect_raw?h=H&w=W[&size=][&conf=]   body: raw uint8 BGR HWC
+      bytes (H*W*3) — skips the jpeg decode, for clients that already
+      hold decoded frames (video pipelines, upstream decode farms) and
+      for benchmarking the runtime without the host-CPU decode bound;
+      response schema identical to /v1/detect
   GET  /healthz     -> 200 {"status": "ok"} once warm
   GET  /v1/config   -> bucket/threshold configuration
   GET  /metrics     -> Prometheus text exposition
@@ -225,7 +230,7 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self):
         import cv2
         url = urlparse(self.path)
-        if url.path != "/v1/detect":
+        if url.path not in ("/v1/detect", "/v1/detect_raw"):
             self._send(404, {"error": f"unknown path {url.path}"})
             return
         rt = self.runtime
@@ -246,11 +251,24 @@ class _Handler(BaseHTTPRequestHandler):
                                           f"{self.max_body_bytes}"})
                 return
             raw = self.rfile.read(length)
-            img = cv2.imdecode(np.frombuffer(raw, np.uint8),
-                               cv2.IMREAD_COLOR)
-            if img is None:
-                raise ValueError("body is not a decodable image")
             q = parse_qs(url.query)
+            if url.path == "/v1/detect_raw":
+                # pre-decoded frames: raw uint8 BGR HWC bytes, shape in
+                # the query (?h=&w=) — no jpeg decode on the server CPU
+                if "h" not in q or "w" not in q:
+                    raise ValueError(
+                        "detect_raw needs ?h=&w= (raw uint8 BGR HWC body)")
+                h, w = int(q["h"][0]), int(q["w"][0])
+                if h <= 0 or w <= 0 or length != h * w * 3:
+                    raise ValueError(
+                        f"body {length} bytes != h*w*3 = {h * w * 3} "
+                        f"(h={h}, w={w})")
+                img = np.frombuffer(raw, np.uint8).reshape(h, w, 3)
+            else:
+                img = cv2.imdecode(np.frombuffer(raw, np.uint8),
+                                   cv2.IMREAD_COLOR)
+                if img is None:
+                    raise ValueError("body is not a decodable image")
             size = int(q["size"][0]) if "size" in q else None
             conf = float(q["conf"][0]) if "conf" in q else None
             res = rt.detect(img, size=size, conf_thre=conf)
