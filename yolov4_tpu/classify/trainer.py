@@ -281,7 +281,6 @@ class ClassifierTrainer:
                     "img_s": round(
                         self.global_batch / max(batch_time.val, 1e-9), 1),
                     "batch_time_s": round(batch_time.val, 4)})
-        self.profiler.close()
 
     def validate(self) -> Tuple[float, float]:
         variables = {"params": self.state.params,
@@ -328,4 +327,7 @@ class ClassifierTrainer:
             self.metrics_log.write({
                 "kind": "eval", "epoch": epoch + 1, "prec1": prec1,
                 "prec5": prec5, "best_prec1": self.best_prec1})
+        # closed HERE (not per-epoch) so a --prof window that crosses an
+        # epoch boundary keeps tracing into the next epoch
+        self.profiler.close()
         return self.best_prec1

@@ -241,7 +241,6 @@ class Trainer:
                     "step": int(self.state.step), "loss": loss_val,
                     "lr": lr, "img_s": round(ips, 1),
                     "batch_time_s": round(batch_time.val, 4)})
-        self.profiler.close()
         return loss_val
 
     def evaluate(self):
@@ -296,4 +295,7 @@ class Trainer:
                 self.metrics_log.write({
                     "kind": "eval", "epoch": epoch + 1, "ap": ap,
                     "ap50": ap50, "best_ap50": self.best_ap50})
+        # closed HERE (not per-epoch) so a --profile window that crosses
+        # an epoch boundary keeps tracing into the next epoch
+        self.profiler.close()
         return self.best_ap50_95, self.best_ap50
