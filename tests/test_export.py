@@ -47,6 +47,22 @@ def test_roundtrip_bit_identical(small_predictor, tmp_path):
     np.testing.assert_array_equal(one[0][0], got[0][0])
 
 
+def test_mesh_predictor_export_rejected(tmp_path):
+    """A mesh-sharded predictor must fail at EXPORT time with a clear
+    message, not at load time on the single-device serving host with a
+    cryptic device-count error."""
+    import jax
+
+    from yolov4_tpu.parallel.mesh import create_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    pred = Predictor(_small_cfg(), img_size=64, batch_size=2,
+                     mesh=create_mesh())
+    with pytest.raises(ValueError, match="single-device"):
+        export_serving(pred, str(tmp_path / "m.y4x"))
+
+
 def test_header_records_serving_contract(small_predictor, tmp_path):
     path = str(tmp_path / "model.y4x")
     header = export_serving(small_predictor, path)

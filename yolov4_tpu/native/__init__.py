@@ -30,12 +30,22 @@ def _build() -> Optional[object]:
         # note: no -march=native — the build cache is keyed by source only
         # and the repo may move between machines; these kernels are
         # memory-bound so portable codegen costs nothing measurable
+        #
+        # per-pid temp name: concurrent first-builds (e.g. the 2-process
+        # multihost test on a fresh checkout) must not interleave writes
+        # into one shared temp file — os.replace of a private temp is
+        # atomic, so whichever full build finishes last wins intact
+        tmp_path = f"{so_path}.{os.getpid()}.tmp"
         cmd = [
             "gcc", "-shared", "-fPIC", "-O3", "-fopenmp",
-            f"-I{include}", _SRC, "-o", so_path + ".tmp",
+            f"-I{include}", _SRC, "-o", tmp_path,
         ]
-        subprocess.run(cmd, check=True, capture_output=True)
-        os.replace(so_path + ".tmp", so_path)
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+            os.replace(tmp_path, so_path)
+        finally:
+            if os.path.exists(tmp_path):
+                os.remove(tmp_path)
     spec = importlib.util.spec_from_file_location("_fastops", so_path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)

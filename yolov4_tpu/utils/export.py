@@ -57,6 +57,14 @@ def export_serving(predictor, path: str, wire_dtype=np.uint8) -> Dict:
                 "int8_static predictor exported before calibration: call "
                 "predictor.calibrate(representative_batch) first so the "
                 "baked scales describe real activations")
+    if getattr(predictor, "_in_sharding", None) is not None:
+        # a mesh predictor's variables carry multi-device shardings; the
+        # export would bake a multi-device calling convention that fails
+        # cryptically on a single-device serving host — fail HERE instead
+        raise ValueError(
+            "export requires a single-device predictor: this one is "
+            "sharded over a multi-device mesh (build a Predictor "
+            "without mesh= for export)")
     variables = predictor.variables
     conf, nms = predictor.conf_thre, predictor.nms_thre
     run = predictor._run
@@ -117,11 +125,15 @@ class ServingArtifact:
         from jax import export as jax_export
         self._exported = jax_export.deserialize(data[13 + hlen:])
         self._wire_dtype = np.dtype(self.meta["wire_dtype"])
+        # jit the exported call once: Exported.call's eager dispatch path
+        # costs ~10x per call (measured 0.43 vs 0.045 ms/call on this
+        # host) — real overhead on the batcher's pipelined hot path
+        self._call = jax.jit(self._exported.call)
 
     def call(self, flat_images):
         """Raw program call on packed wire bytes
         [batch_size, 3*S*S] (meta['wire_dtype'])."""
-        return self._exported.call(jnp.asarray(flat_images))
+        return self._call(jnp.asarray(flat_images))
 
     def predict(self, images: np.ndarray) -> Tuple[np.ndarray, ...]:
         """NHWC batch in, per-image detections out (numpy, unpadded).
