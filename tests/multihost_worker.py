@@ -150,9 +150,41 @@ def check_uneven_eval(root):
           flush=True)
 
 
+def check_classifier(root):
+    """ClassifierTrainer over the 2-process mesh: validate() used to mix
+    globally-replicated params into a plain single-process jit (crash),
+    and the val loader was not process-sharded. Now each process scores
+    its shard and the in-program sum reduces across the mesh. The val
+    split is UNEVEN (5 imgs / 2 procs) so the wrap-pad dedup mask is
+    exercised: with the model init seeded, the pre-train prec1/prec5 must
+    exactly equal a single-process run the pytest side computes — a
+    double-counted wrapped image would shift the counts."""
+    import jax.numpy as jnp
+
+    from yolov4_tpu.classify.trainer import ClassifierTrainer
+
+    tr = ClassifierTrainer(
+        root, batch_size=1, epochs=1, workers=0, crop_size=16, val_size=20,
+        num_classes=2, seed=0, width=0.25, depth=0.25, sync_bn=True,
+        compute_dtype=jnp.float32, print_freq=100,
+        output_dir=os.path.join(OUT_DIR, f"cls{PID}"))
+    assert len(tr.val_ds) % NPROCS != 0, (len(tr.val_ds), NPROCS)
+    prec1, prec5 = tr.validate()  # untrained: seeded-init oracle
+    print(f"MHOK clseval pid={PID} prec1={prec1:.9f} prec5={prec5:.9f}",
+          flush=True)
+    best = tr.fit()  # full epoch: sharded train -> sharded eval -> save
+    loss = float(tr.state.loss)
+    assert np.isfinite(loss), loss
+    print(f"MHOK clsfit pid={PID} best={best:.9f} loss={loss:.6f}",
+          flush=True)
+
+
 check_gather_rows()
 check_quant_calibrate()
 if UNEVEN_ROOT:
     check_uneven_eval(UNEVEN_ROOT)
+CLS_ROOT = sys.argv[7] if len(sys.argv) > 7 else None
+if CLS_ROOT:
+    check_classifier(CLS_ROOT)
 run_trainer()
 print(f"MHOK done pid={PID}", flush=True)

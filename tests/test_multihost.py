@@ -30,6 +30,44 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def _make_stripes(root, n_train=4, n_val=(3, 2)):
+    """Tiny 2-class image-folder dataset (horizontal/vertical stripes).
+    n_val per class is deliberately uneven-summed (5 imgs / 2 procs) to
+    force wrap padding in the classifier's sharded val loader."""
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(11)
+    for split, counts in [("train", (n_train, n_train)), ("val", n_val)]:
+        for cls, n in zip(("horizontal", "vertical"), counts):
+            d = os.path.join(root, split, cls)
+            os.makedirs(d)
+            for i in range(n):
+                img = np.full((24, 24, 3), 40, np.uint8)
+                idx = (np.arange(24) + int(rng.integers(0, 6))) // 3 % 2 == 0
+                if cls == "horizontal":
+                    img[idx, :, :] = 215
+                else:
+                    img[:, idx, :] = 215
+                Image.fromarray(img).save(os.path.join(d, f"{i}.png"))
+
+
+def _single_process_cls_reference(root, tmp_path):
+    """The classifier eval the 2-process run must reproduce exactly:
+    same seeded init (PRNGKey(0) params match the workers' without any
+    checkpoint plumbing), process_count=1 so every image scores once."""
+    import jax.numpy as jnp
+
+    from yolov4_tpu.classify.trainer import ClassifierTrainer
+
+    tr = ClassifierTrainer(
+        root, batch_size=1, epochs=1, workers=0, crop_size=16, val_size=20,
+        num_classes=2, seed=0, width=0.25, depth=0.25, sync_bn=True,
+        compute_dtype=jnp.float32, print_freq=100,
+        output_dir=str(tmp_path / "cls_ref"))
+    return tr.validate()
+
+
 @pytest.mark.slow
 def test_two_process_train_eval_checkpoint(tmp_path):
     root = str(tmp_path / "coco")
@@ -39,6 +77,9 @@ def test_two_process_train_eval_checkpoint(tmp_path):
     # whose dedup the workers' uneven-eval check exercises
     uneven_root = str(tmp_path / "coco_uneven")
     make_fake_coco(uneven_root, "val2017", n_images=7, seed=5)
+    # image-folder dataset for the classifier check (val 5 imgs: uneven)
+    cls_root = str(tmp_path / "stripes")
+    _make_stripes(cls_root, n_train=4, n_val=(3, 2))
     out_dir = str(tmp_path / "out")
     os.makedirs(out_dir, exist_ok=True)
 
@@ -48,7 +89,8 @@ def test_two_process_train_eval_checkpoint(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(REPO, "tests", "multihost_worker.py"),
-             str(pid), "2", str(port), root, out_dir, uneven_root],
+             str(pid), "2", str(port), root, out_dir, uneven_root,
+             cls_root],
             cwd=REPO, env=env, text=True,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for pid in range(2)
@@ -113,6 +155,26 @@ def test_two_process_train_eval_checkpoint(tmp_path):
     ref_ap, ref_ap50 = _single_process_uneven_reference(uneven_root)
     assert abs(float(u0["ap"]) - ref_ap) < 1e-9, (u0, ref_ap)
     assert abs(float(u0["ap50"]) - ref_ap50) < 1e-9, (u0, ref_ap50)
+
+    # classifier over the 2-process mesh: eval counts reduce in-program,
+    # so both processes report identical prec — and the UNEVEN val split
+    # (5 imgs) pins the wrap-pad dedup: the seeded untrained model's prec
+    # must exactly equal a single-process run scoring each image once
+    def kv_line(out, tag, pid):
+        prefix = f"MHOK {tag} pid={pid} "
+        for line in out.splitlines():
+            if line.startswith(prefix):
+                return dict(kv.split("=")
+                            for kv in line[len(prefix):].split())
+        raise AssertionError(f"no {tag} line for pid {pid}")
+
+    c0, c1 = kv_line(outs[0], "clseval", 0), kv_line(outs[1], "clseval", 1)
+    assert c0 == c1, (c0, c1)
+    ref_p1, ref_p5 = _single_process_cls_reference(cls_root, tmp_path)
+    assert abs(float(c0["prec1"]) - ref_p1) < 1e-9, (c0, ref_p1)
+    assert abs(float(c0["prec5"]) - ref_p5) < 1e-9, (c0, ref_p5)
+    f0c, f1c = kv_line(outs[0], "clsfit", 0), kv_line(outs[1], "clsfit", 1)
+    assert f0c["best"] == f1c["best"], (f0c, f1c)
 
 
 def _single_process_uneven_reference(root):

@@ -60,18 +60,14 @@ def pack_cls_wire(imgs: np.ndarray, layout: str) -> np.ndarray:
     """Host side of the flat wire: uint8 NHWC [B, S, S, 3] -> [B, 3*S*S].
 
     An NHWC device transfer with trailing dim 3 lane-pads 3->128 (a ~40x
-    byte tax, docs/PERF.md); the detection path ships flat buffers packed
-    in the consuming program's own layout and the classifier does the
-    same. "s2d" packs the fused space-to-depth stem's input order
-    (native C kernel), "planar" packs NCHW (device transposes), "nhwc"
-    ships the raw array (debug/fallback only)."""
+    byte tax, docs/PERF.md); the classifier ships the SAME wire bytes as
+    the detection path (engine/predictor.pack_wire — one copy of the
+    layout contract). "nhwc" ships the raw array (debug/fallback only).
+    """
     if layout == "nhwc":
         return imgs
-    from yolov4_tpu import native
-    b = imgs.shape[0]
-    packed = (native.pack_s2d_u8(imgs) if layout == "s2d"
-              else native.pack_planar_u8(imgs))
-    return packed.reshape(b, -1)
+    from yolov4_tpu.engine.predictor import pack_wire
+    return pack_wire(imgs, imgs.shape[0], s2d_wire=layout == "s2d")
 
 
 def decode_cls_wire(flat: jnp.ndarray, size: int, layout: str) -> jnp.ndarray:
@@ -132,14 +128,23 @@ def make_cls_train_step(model, tx, lr_schedule, mesh, num_classes: int,
 
 
 def make_eval_step(model, size: int, layout: str = "nhwc"):
+    """Masked top-1/top-5 COUNTS over the (global) batch.
+
+    Summing in-program makes the outputs replicated scalars, so the same
+    jit works single-process and over a multi-process mesh (the inputs
+    enter via make_array_from_process_local_data and GSPMD inserts the
+    cross-device reduction); per-sample boolean outputs would not be
+    addressable off-process."""
     @jax.jit
-    def eval_step(variables, u8, labels):
+    def eval_step(variables, u8, labels, mask):
         logits = model.apply(variables, decode_cls_wire(u8, size, layout),
                              train=False, input_s2d=layout == "s2d")
         top5 = jnp.argsort(-logits, axis=-1)[:, :5]
-        correct1 = (top5[:, 0] == labels)
-        correct5 = jnp.any(top5 == labels[:, None], axis=-1)
-        return correct1, correct5
+        correct1 = (top5[:, 0] == labels) & mask
+        correct5 = jnp.any(top5 == labels[:, None], axis=-1) & mask
+        return (jnp.sum(correct1.astype(jnp.int32)),
+                jnp.sum(correct5.astype(jnp.int32)),
+                jnp.sum(mask.astype(jnp.int32)))
 
     return eval_step
 
@@ -186,8 +191,12 @@ class ClassifierTrainer:
             self.train_ds, local_batch, shuffle=True, num_workers=workers,
             seed=seed, drop_last=True, process_index=jax.process_index(),
             process_count=jax.process_count())
+        # val is process-sharded like train: each process scores its slice
+        # and the in-program sum reduces across the mesh (validate())
         self.val_loader = DataLoader(self.val_ds, local_batch, shuffle=False,
-                                     num_workers=workers)
+                                     num_workers=workers,
+                                     process_index=jax.process_index(),
+                                     process_count=jax.process_count())
 
         # SyncBN (reference darknet/main_amp.py:147-150): batch statistics
         # pmean'd across the mesh inside the shard_map step. The axis only
@@ -226,7 +235,19 @@ class ClassifierTrainer:
 
         self.start_epoch = 0
         self.best_prec1 = 0.0
+        self._train_lockstep_done = False
+        self._eval_lockstep_done = False
         if resume:
+            if resume.endswith((".pth", ".pth.tar", ".pt")):
+                # fail clearly instead of an opaque msgpack unpack error:
+                # a torch classifier checkpoint's Adam state has no optax
+                # mapping, so a trajectory-faithful resume is impossible
+                raise ValueError(
+                    f"--resume {resume}: classifier resume needs a native "
+                    "checkpoint (checkpoint.ckpt). For reference torch "
+                    "weights, graft the backbone into detection training "
+                    "via MODEL.BACKBONE_PRETRAINED instead (the torch "
+                    "optimizer state cannot resume an optax schedule).")
             raw = ckpt_lib.load_checkpoint_raw(resume)
             self.state = self.state.replace(
                 params=ckpt_lib.restore_onto(self.state.params,
@@ -258,6 +279,14 @@ class ClassifierTrainer:
         end = time.time()
         for i, (imgs, target) in enumerate(self.train_loader):
             u8, labels = self._put(imgs, target["label"])
+            if jax.process_count() > 1 and not self._train_lockstep_done:
+                # compile, then barrier, then dispatch: gloo's first
+                # collective rendezvous must not absorb compile skew
+                # (parallel.mesh.coordinator_lockstep)
+                self.train_step.lower(self.state, u8, labels).compile()
+                from yolov4_tpu.parallel.mesh import coordinator_lockstep
+                coordinator_lockstep("cls_train_step")
+                self._train_lockstep_done = True
             self.state = self.train_step(self.state, u8, labels)
             if self.profiler.count:
                 # host-side counter: reading state.step would force a sync
@@ -285,15 +314,35 @@ class ClassifierTrainer:
     def validate(self) -> Tuple[float, float]:
         variables = {"params": self.state.params,
                      "batch_stats": self.state.batch_stats}
+        # Wrap-pad dedup: the sharded loader pads the GLOBAL index list to
+        # a multiple of process_count by wrapping (pipeline._local_indices:
+        # this process serves padded positions p, p+P, ...), so any local
+        # sample whose padded position >= len(dataset) is another process's
+        # image served again — masked out of the counts. The first
+        # ceil((n - p)/P) local samples are the real ones.
+        n_ds = len(self.val_ds)
+        P, p = jax.process_count(), jax.process_index()
+        real_local = max(0, -(-(n_ds - p) // P))
         n1 = n5 = total = 0
+        seen = 0
         for imgs, target in self.val_loader:
-            c1, c5 = self.eval_step(
-                variables, jnp.asarray(pack_cls_wire(imgs, self.layout)),
-                jnp.asarray(target["label"].astype(np.int32)))
-            mask = target["batch_mask"]
-            n1 += int(np.asarray(c1)[mask].sum())
-            n5 += int(np.asarray(c5)[mask].sum())
-            total += int(mask.sum())
+            mask = np.asarray(target["batch_mask"], bool).copy()
+            mask &= seen + np.arange(len(mask)) < real_local
+            seen += int(target["batch_mask"].sum())
+            u8, labels = self._put(imgs, target["label"])
+            m = jax.make_array_from_process_local_data(self.sharding, mask)
+            if P > 1 and not self._eval_lockstep_done:
+                # compile, then barrier: gloo's first collective context
+                # has a hardcoded rendezvous that cross-process compile
+                # skew can blow (parallel.mesh.coordinator_lockstep)
+                self.eval_step.lower(variables, u8, labels, m).compile()
+                from yolov4_tpu.parallel.mesh import coordinator_lockstep
+                coordinator_lockstep("cls_eval")
+                self._eval_lockstep_done = True
+            c1, c5, t = self.eval_step(variables, u8, labels, m)
+            n1 += int(c1)
+            n5 += int(c5)
+            total += int(t)
         prec1 = 100.0 * n1 / max(total, 1)
         prec5 = 100.0 * n5 / max(total, 1)
         logger.info(f"* Prec@1 {prec1:.3f} Prec@5 {prec5:.3f}")
