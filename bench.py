@@ -223,8 +223,9 @@ def ensure_backend() -> bool:
             "np.asarray(jnp.ones((2,2)) @ jnp.ones((2,2)))")
     wait_s = float(os.environ.get("YOLOV4_BENCH_WAIT_S", "600"))
     # leave at least ~1/3 of the budget for measurement after a late probe
-    probe_deadline = min(time.time() + wait_s,
-                         deadline() - max(60.0, budget_s() / 3))
+    wait_deadline = time.time() + wait_s
+    budget_clamp = deadline() - max(60.0, budget_s() / 3)
+    probe_deadline = min(wait_deadline, budget_clamp)
     probe_s = float(os.environ.get("YOLOV4_BENCH_PROBE_S", "540"))
     attempt = 0
     while True:
@@ -237,6 +238,11 @@ def ensure_backend() -> bool:
             return True
         except Exception:
             if time.time() >= probe_deadline:
+                # distinguish "tunnel dead through the WHOLE grace window"
+                # (an outage claim) from "the BUDGET ran out first" (says
+                # nothing about the tunnel — e.g. a tight rehearsal budget)
+                _state["probe_gave_up"] = (
+                    "wait" if probe_deadline >= wait_deadline else "budget")
                 return False
             print(f"backend probe {attempt} failed; retrying in 30s "
                   f"({int(probe_deadline - time.time())}s left)",
@@ -600,6 +606,12 @@ if __name__ == "__main__":
     try:
         if ensure_backend():
             main(_args)
+        elif _state.get("probe_gave_up") == "budget":
+            emit_backend_down(
+                _args.img_size, flag="budget_expired",
+                note="budget expired during the backend probe (says "
+                     "nothing about tunnel health; raise "
+                     "YOLOV4_BENCH_BUDGET_S)")
         else:
             emit_backend_down(_args.img_size)
     except BaseException as e:  # noqa: BLE001 — the driver artifact must
