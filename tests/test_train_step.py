@@ -323,6 +323,85 @@ def test_resume_trajectory_matches_straight_run(tmp_path):
         trainer_a.state.batch_stats, trainer_c.state.batch_stats)
 
 
+def test_preemption_mid_epoch_resume(tmp_path):
+    """Preemption-safe checkpointing (TRAIN.CHECKPOINT_EVERY_STEPS): kill
+    the trainer MID-epoch, resume from the rolling checkpoint, and the
+    remaining steps must reproduce the uninterrupted run exactly — loss
+    trajectory, LR, final params and BN stats. Requires the mid_epoch
+    meta (epoch + batch_index), the loader's start_batch alignment
+    (indices AND per-batch augmentation seeds), and the restored global
+    step/opt state. Beyond-reference: the reference can only checkpoint
+    per epoch (and its optimizer restore is dead code)."""
+    import json
+    import os
+
+    from tests.fixtures import make_fake_coco
+    from yolov4_tpu.engine.trainer import Trainer
+
+    root = str(tmp_path / "coco")
+    make_fake_coco(root, "train2017", n_images=24, seed=0)  # 3 steps/epoch
+    make_fake_coco(root, "val2017", n_images=2, seed=1)
+
+    def train_records(out_dir):
+        path = os.path.join(out_dir, "metrics.jsonl")
+        return {json.loads(l)["step"]: json.loads(l) for l in open(path)
+                if json.loads(l)["kind"] == "train"}
+
+    # uninterrupted: 2 epochs x 3 steps
+    cfg_a = _trainer_cfg(tmp_path, "pre_a", max_epochs=2)
+    trainer_a = Trainer(cfg_a, root)
+    trainer_a.print_freq = 1
+    trainer_a.fit()
+    rec_a = train_records(cfg_a["TRAIN"]["OUTPUT_DIR"])
+    assert int(trainer_a.state.step) == 6
+
+    # preempted DURING step 5 (epoch 2, batch 2): the rolling checkpoint
+    # on disk is the mid-epoch save from step 4 (epoch 2, batch 1)
+    cfg_b = _trainer_cfg(tmp_path, "pre_b", max_epochs=2)
+    cfg_b["TRAIN"]["CHECKPOINT_EVERY_STEPS"] = 1
+    trainer_b = Trainer(cfg_b, root)
+    trainer_b.print_freq = 1
+    real_step, calls = trainer_b.train_step, 0
+
+    def preemptible(state, imgs, labels):
+        nonlocal calls
+        if calls == 4:
+            raise RuntimeError("preempted")
+        calls += 1
+        return real_step(state, imgs, labels)
+
+    trainer_b.train_step = preemptible
+    with pytest.raises(RuntimeError, match="preempted"):
+        trainer_b.fit()
+    ckpt = os.path.join(cfg_b["TRAIN"]["OUTPUT_DIR"], "checkpoint.ckpt")
+    meta = json.load(open(ckpt + ".meta.json"))
+    assert meta["mid_epoch"] and meta["epoch"] == 1 \
+        and meta["batch_index"] == 1 and meta["step"] == 4, meta
+
+    # resumed: re-enters epoch 2 at batch 2, runs steps 5-6
+    cfg_c = _trainer_cfg(tmp_path, "pre_c", max_epochs=2)
+    trainer_c = Trainer(cfg_c, root, resume=ckpt)
+    trainer_c.print_freq = 1
+    assert trainer_c.start_epoch == 1 and trainer_c._resume_skip == 1
+    assert int(trainer_c.state.step) == 4
+    trainer_c.fit()
+    rec_c = train_records(cfg_c["TRAIN"]["OUTPUT_DIR"])
+
+    assert set(rec_c) == {5, 6}, sorted(rec_c)
+    for s in (5, 6):
+        np.testing.assert_allclose(rec_a[s]["loss"], rec_c[s]["loss"],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(rec_a[s]["lr"], rec_c[s]["lr"], rtol=1e-9)
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x),
+                                                   np.asarray(y)),
+        trainer_a.state.params, trainer_c.state.params)
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x),
+                                                   np.asarray(y)),
+        trainer_a.state.batch_stats, trainer_c.state.batch_stats)
+
+
 def test_trainer_writes_metrics_jsonl(tmp_path):
     """The trainer's JSONL scalar sink records train + eval scalars
     (machine-readable copy of the stdout log)."""

@@ -131,6 +131,13 @@ DEFAULTS: Dict[str, Dict[str, Any]] = {
         # Auto-falls-back to nhwc with device augmentation or a non-s2d
         # stem.
         "TRANSFER_LAYOUT": "s2d",
+        # preemption-safe mid-epoch checkpointing: every N steps the full
+        # state rolls into checkpoint.ckpt (atomic) tagged with the batch
+        # index, and resume re-enters the SAME epoch at the next batch
+        # with an identical remaining trajectory (tests/test_train_step).
+        # 0 = end-of-epoch saves only (the reference's cadence). Each save
+        # fetches the state to host — pick a cadence that amortizes it.
+        "CHECKPOINT_EVERY_STEPS": 0,
     },
     "TEST": {
         "IMGSIZE": 608,

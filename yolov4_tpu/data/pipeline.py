@@ -88,6 +88,11 @@ class DataLoader:
         # the startup.
         self.start_method = start_method
         self._pool = None
+        # one-shot batch offset for mid-epoch resume: the NEXT iteration
+        # starts at this batch index (indices, per-batch seeds and batch
+        # numbering stay aligned with an uninterrupted epoch), then later
+        # epochs start at 0 again
+        self.start_batch = 0
 
     def _get_pool(self):
         if self._pool is None:
@@ -132,7 +137,8 @@ class DataLoader:
     def _batches(self):
         order = self._local_indices()
         nb = len(self)
-        for i in range(nb):
+        start, self.start_batch = self.start_batch, 0  # consume one-shot
+        for i in range(start, nb):
             chunk = order[i * self.batch_size:(i + 1) * self.batch_size]
             seed = hash((self.seed, self.epoch, i, self.process_index)) & 0x7FFFFFFF
             yield chunk, seed

@@ -139,6 +139,12 @@ class Trainer:
         self.start_epoch = cfg["TRAIN"]["START_EPOCH"]
         self.best_ap50 = 0.0
         self.best_ap50_95 = 0.0
+        # preemption-safe mid-epoch checkpointing: every N steps the full
+        # state rolls into checkpoint.ckpt (atomic tmp+replace), tagged
+        # mid_epoch so resume restarts INSIDE the epoch at the next batch.
+        # 0 = off (end-of-epoch saves only, the reference's cadence).
+        self.ckpt_every = int(cfg["TRAIN"].get("CHECKPOINT_EVERY_STEPS", 0))
+        self._resume_skip = 0
         if resume:
             self._resume(resume)
 
@@ -165,14 +171,24 @@ class Trainer:
                 opt_state=ckpt_lib.restore_onto(self.state.opt_state,
                                                 raw["opt_state"]))
         meta = raw.get("meta", {})
-        self.start_epoch = int(meta.get("epoch", -1)) + 1
+        if meta.get("mid_epoch"):
+            # preemption checkpoint: re-enter the SAME epoch at the next
+            # batch — loader order (set_epoch) and per-batch augmentation
+            # seeds are index-deterministic, so the resumed stream is the
+            # one the uninterrupted run would have seen
+            self.start_epoch = int(meta["epoch"])
+            self._resume_skip = int(meta["batch_index"])
+        else:
+            self.start_epoch = int(meta.get("epoch", -1)) + 1
         self.best_ap50 = float(meta.get("best_ap50", 0.0))
         self.best_ap50_95 = float(meta.get("best_ap50_95", 0.0))
         if "step" in meta:
             self.state = self.state.replace(
                 step=np.asarray(int(meta["step"]), np.int32))
-        logger.info(f"resumed at epoch {self.start_epoch}, "
-                    f"step {int(self.state.step)}, best AP50 {self.best_ap50}")
+        logger.info(
+            f"resumed at epoch {self.start_epoch}"
+            + (f" batch {self._resume_skip}" if self._resume_skip else "")
+            + f", step {int(self.state.step)}, best AP50 {self.best_ap50}")
 
     def _put_batch(self, imgs: np.ndarray, labels: np.ndarray):
         if imgs.ndim == 5:  # device-aug canvases [B, 4, S, S, 3] uint8
@@ -199,6 +215,11 @@ class Trainer:
     def train_epoch(self, epoch: int) -> float:
         cfg = self.cfg
         self.train_loader.set_epoch(epoch)
+        # mid-epoch resume: skip straight to the checkpointed batch (the
+        # loader keeps indices/seeds/numbering aligned — no skipped-batch
+        # collate cost); consumed once, later epochs start at 0
+        skip, self._resume_skip = self._resume_skip, 0
+        self.train_loader.start_batch = skip
         n_batches = len(self.train_loader)
         batch_time = AverageMeter()
         global_batch = (cfg["DATA"]["BATCH_SIZE"] * len(jax.devices()))
@@ -206,7 +227,7 @@ class Trainer:
         loss_val = float("nan")
 
         label_key = "member_boxes" if self.device_aug else "padded_labels"
-        for i, (imgs, target) in enumerate(self.train_loader):
+        for i, (imgs, target) in enumerate(self.train_loader, start=skip):
             imgs, labels = self._put_batch(imgs, target[label_key])
             if jax.process_count() > 1 and not self._train_lockstep_done:
                 # compile, then coordinator barrier, then first dispatch:
@@ -222,6 +243,9 @@ class Trainer:
                 # host-side counter: reading state.step would force a sync
                 self._host_step = getattr(self, "_host_step", 0) + 1
                 self.profiler.on_step(self._host_step)
+            if self.ckpt_every and (i + 1) % self.ckpt_every == 0 \
+                    and (i + 1) < n_batches:
+                self._save_mid_epoch(epoch, i + 1)
 
             if (i + 1) % self.print_freq == 0:
                 loss_val = float(self.state.loss)  # forces device sync
@@ -242,6 +266,30 @@ class Trainer:
                     "lr": lr, "img_s": round(ips, 1),
                     "batch_time_s": round(batch_time.val, 4)})
         return loss_val
+
+    def _save_mid_epoch(self, epoch: int, batch_index: int) -> None:
+        """Preemption checkpoint: the full state rolls into
+        checkpoint.ckpt atomically (TRAIN.CHECKPOINT_EVERY_STEPS cadence).
+        Serializing the state fetches it to host, so pick a cadence whose
+        fetch cost amortizes (hundreds of steps on real configs); no
+        collective is involved — non-primary processes skip the IO and
+        resume re-reads the same file on every process."""
+        if not self.is_primary:
+            return
+        meta = {"epoch": epoch, "batch_index": batch_index,
+                "mid_epoch": True, "step": int(self.state.step),
+                "best_ap50": self.best_ap50,
+                "best_ap50_95": self.best_ap50_95}
+        bundle = {
+            "variables": {"params": self.state.params,
+                          "batch_stats": self.state.batch_stats},
+            "opt_state": self.state.opt_state,
+            "meta": meta,
+        }
+        ckpt_lib.save_checkpoint(bundle, is_best=False,
+                                 output_dir=self.output_dir, meta=meta)
+        logger.info(f"mid-epoch checkpoint (epoch {epoch + 1} "
+                    f"batch {batch_index}, step {meta['step']})")
 
     def evaluate(self):
         self.predictor.variables = {"params": self.state.params,
