@@ -155,6 +155,45 @@ def test_close_fails_pending_and_rejects_new():
         b.submit_canvas(_canvas(1), INFO)
 
 
+def test_cancelled_future_does_not_kill_fetcher():
+    """A client that times out and cancel()s its future must not wedge the
+    bucket: these futures are never set_running_or_notify_cancel'd, so
+    set_result on a cancelled one raises InvalidStateError — which used to
+    escape _fetch_loop and silently kill the fetcher thread (every later
+    request then hung until process restart)."""
+    fake = FakePredictor(batch_size=2, delay_s=0.1)
+    b = DynamicBatcher(fake, max_wait_ms=5.0).start()
+    try:
+        doomed = b.submit_canvas(_canvas(1), INFO)
+        assert doomed.cancel()  # client gave up before the batch resolved
+        # the bucket must still serve everyone else
+        for v in (20, 30, 40):
+            r = b.submit_canvas(_canvas(v), INFO).result(timeout=10)
+            np.testing.assert_allclose(r.scores[0], v / 255.0, rtol=1e-6)
+    finally:
+        b.close()
+
+
+def test_close_drains_stranded_inflight_batch():
+    """A dispatched batch the fetcher never collected (its exit condition
+    races the assembler's put) must be failed by close(), not leave its
+    callers hanging in future.result() forever."""
+    from concurrent.futures import Future
+
+    from yolov4_tpu.serve.batcher import _Request
+
+    b = DynamicBatcher(FakePredictor(batch_size=2), max_wait_ms=10.0)
+    b.start()
+    b._stop.set()  # fetcher drains and exits
+    time.sleep(0.3)
+    stranded = _Request(canvas=_canvas(5), img_info=INFO, future=Future(),
+                        conf_thre=None)
+    b._inflight.put(([stranded], None, 0.0))  # the raced post-exit put
+    b.close()
+    with pytest.raises(RuntimeError, match="shut down"):
+        stranded.future.result(timeout=1)
+
+
 def test_dispatch_error_propagates_to_futures():
     class Boom(FakePredictor):
         def dispatch(self, images):

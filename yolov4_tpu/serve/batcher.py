@@ -38,6 +38,23 @@ from yolov4_tpu.utils.logging import get_logger
 logger = get_logger(__name__)
 
 
+def _safe_set(fut: Future, result=None, exc: Optional[BaseException] = None):
+    """Resolve a future, tolerating a client-side cancel().
+
+    These futures are never set_running_or_notify_cancel'd, so a client
+    that times out on fut.result() CAN cancel() them — after which
+    set_result/set_exception raise InvalidStateError. That must not kill
+    the daemon loops (one cancelling client would wedge the whole
+    bucket): a cancelled future simply has nobody left to deliver to."""
+    try:
+        if exc is not None:
+            fut.set_exception(exc)
+        else:
+            fut.set_result(result)
+    except Exception:  # InvalidStateError: cancelled/already resolved
+        pass
+
+
 @dataclass
 class DetectionResult:
     """Per-request detections in SOURCE-image pixel coordinates."""
@@ -104,13 +121,22 @@ class DynamicBatcher:
         if self._started:
             self._assembler.join(timeout)
             self._fetcher.join(timeout)
-        # fail anything still queued so callers never hang on a dead server
-        while True:
-            try:
-                req = self._queue.get_nowait()
-            except queue.Empty:
-                break
-            req.future.set_exception(RuntimeError("batcher shut down"))
+        # fail anything stranded so callers never hang on a dead server:
+        # queued requests (incl. submits that raced the _stop check — the
+        # _lock makes those either visible here or rejected), and
+        # dispatched batches the fetcher exited before collecting (its
+        # empty() check races the assembler's put)
+        with self._lock:
+            for q in (self._queue, self._inflight):
+                while True:
+                    try:
+                        item = q.get_nowait()
+                    except queue.Empty:
+                        break
+                    reqs = item[0] if isinstance(item, tuple) else [item]
+                    for r in reqs:
+                        _safe_set(r.future,
+                                  exc=RuntimeError("batcher shut down"))
 
     # -- request path ------------------------------------------------------
 
@@ -141,12 +167,28 @@ class DynamicBatcher:
             raise ValueError(
                 f"request conf_thre {conf_thre} below bucket threshold "
                 f"{self.predictor.conf_thre}")
-        if self._stop.is_set():
-            raise RuntimeError("batcher shut down")
         req = _Request(canvas=canvas, img_info=tuple(img_info),
                        future=Future(), conf_thre=conf_thre,
                        t_enqueue=time.perf_counter())
-        self._queue.put(req, timeout=timeout)
+        # stop-check + enqueue under the lock close the race with close()'s
+        # drain (same lock, taken after _stop is set): a request either
+        # lands before the drain and gets failed there, or sees _stop and
+        # is rejected — never silently stranded. The lock is held only for
+        # a non-blocking put; the backpressure timeout is a short poll so
+        # saturated submitters don't convoy on each other.
+        deadline = None if timeout is None else time.monotonic() + timeout
+        while True:
+            with self._lock:
+                if self._stop.is_set():
+                    raise RuntimeError("batcher shut down")
+                try:
+                    self._queue.put_nowait(req)
+                    break
+                except queue.Full:
+                    pass
+            if deadline is not None and time.monotonic() >= deadline:
+                raise queue.Full
+            time.sleep(0.002)
         self.metrics.count("requests_total")
         return req.future
 
@@ -190,7 +232,7 @@ class DynamicBatcher:
                 logger.exception(f"{self.name}: dispatch failed")
                 self.metrics.count("errors_total", len(batch))
                 for r in batch:
-                    r.future.set_exception(exc)
+                    _safe_set(r.future, exc=exc)
                 continue
             # bounded: blocks when `inflight` batches are already on device
             placed = False
@@ -203,7 +245,8 @@ class DynamicBatcher:
                     continue
             if not placed:  # shut down mid-handoff: nobody will fetch these
                 for r in batch:
-                    r.future.set_exception(RuntimeError("batcher shut down"))
+                    _safe_set(r.future,
+                              exc=RuntimeError("batcher shut down"))
 
     def _fetch_loop(self) -> None:
         while not (self._stop.is_set() and self._inflight.empty()):
@@ -217,7 +260,7 @@ class DynamicBatcher:
             except Exception as exc:
                 self.metrics.count("errors_total", len(batch))
                 for r in batch:
-                    r.future.set_exception(exc)
+                    _safe_set(r.future, exc=exc)
                 continue
             t_done = time.perf_counter()
             self.metrics.count("batches_total")
@@ -226,11 +269,15 @@ class DynamicBatcher:
             self.metrics.observe("batch_fill", len(batch) / self.batch_size)
             for i, req in enumerate(batch):
                 try:
-                    req.future.set_result(
-                        self._resolve(req, dets[i], valid[i], t_done))
+                    result = self._resolve(req, dets[i], valid[i], t_done)
                 except Exception as exc:
                     self.metrics.count("errors_total")
-                    req.future.set_exception(exc)
+                    _safe_set(req.future, exc=exc)
+                else:
+                    # _safe_set: a client that timed out and cancel()ed
+                    # must not kill this loop (the old set_exception-on-
+                    # InvalidStateError re-raise wedged the whole bucket)
+                    _safe_set(req.future, result=result)
 
     def _resolve(self, req: _Request, det: np.ndarray, valid: np.ndarray,
                  t_done: float) -> DetectionResult:
