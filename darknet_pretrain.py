@@ -54,6 +54,13 @@ def parse_args():
                              "steps starting at step 10 (reference nvtx "
                              "window, darknet/main_amp.py:350-427); trace "
                              "lands in OUTPUT_DIR/profile")
+    parser.add_argument("--checkpoint-every-steps", type=int, default=0,
+                        metavar="N",
+                        help="preemption-safe mid-epoch checkpointing: "
+                             "roll the full state into checkpoint.ckpt "
+                             "every N steps; resume re-enters the same "
+                             "epoch at the next batch (0 = per-epoch "
+                             "saves only)")
     return parser.parse_args()
 
 
@@ -74,7 +81,8 @@ def main():
         num_classes=args.num_classes, output_dir=args.output_dir,
         print_freq=args.print_freq, resume=args.resume, compute_dtype=dtype,
         seed=args.seed, sync_bn=args.sync_bn,
-        transfer_layout=args.transfer_layout, profile_steps=args.prof)
+        transfer_layout=args.transfer_layout, profile_steps=args.prof,
+        checkpoint_every_steps=args.checkpoint_every_steps)
     return trainer.fit(evaluate_only=args.evaluate)
 
 

@@ -229,6 +229,74 @@ def test_cls_trainer_learns_held_out(striped_root, tmp_path):
     assert os.path.isfile(os.path.join(out, "model_best.ckpt"))
 
 
+def test_cls_preemption_mid_epoch_resume(striped_root, tmp_path):
+    """Classifier analogue of the detection preemption proof: kill the
+    trainer mid-epoch (checkpoint_every_steps=1), resume from the rolling
+    mid-epoch checkpoint, and the remaining steps reproduce the
+    uninterrupted run exactly (per-step loss, final params/BN stats)."""
+    import json
+
+    from yolov4_tpu.classify.trainer import ClassifierTrainer
+
+    kw = dict(batch_size=1, epochs=2, workers=0, crop_size=32, val_size=40,
+              num_classes=2, seed=0, width=0.25, depth=0.25, print_freq=1)
+    # striped_root: 32 train/class = 64 imgs, global batch 8 -> 8 steps/ep
+
+    def records(out):
+        path = os.path.join(out, "metrics.jsonl")
+        return {json.loads(l)["step"]: json.loads(l) for l in open(path)
+                if json.loads(l)["kind"] == "train"}
+
+    out_a = str(tmp_path / "a")
+    tr_a = ClassifierTrainer(striped_root, output_dir=out_a, **kw)
+    tr_a.fit()
+    rec_a = records(out_a)
+    assert int(tr_a.state.step) == 16
+
+    # preempted DURING step 12 (epoch 2, batch 4): rolling ckpt = step 11
+    out_b = str(tmp_path / "b")
+    tr_b = ClassifierTrainer(striped_root, output_dir=out_b,
+                             checkpoint_every_steps=1, **kw)
+    real_step, calls = tr_b.train_step, 0
+
+    def preemptible(state, u8, labels):
+        nonlocal calls
+        if calls == 11:
+            raise RuntimeError("preempted")
+        calls += 1
+        return real_step(state, u8, labels)
+
+    tr_b.train_step = preemptible
+    with pytest.raises(RuntimeError, match="preempted"):
+        tr_b.fit()
+    ckpt = os.path.join(out_b, "checkpoint.ckpt")
+    meta = json.load(open(ckpt + ".meta.json"))
+    assert meta["mid_epoch"] and meta["epoch"] == 1 \
+        and meta["batch_index"] == 3 and meta["step"] == 11, meta
+
+    out_c = str(tmp_path / "c")
+    tr_c = ClassifierTrainer(striped_root, output_dir=out_c, resume=ckpt,
+                             **kw)
+    assert tr_c.start_epoch == 1 and tr_c._resume_skip == 3
+    assert int(tr_c.state.step) == 11
+    tr_c.fit()
+    rec_c = records(out_c)
+
+    assert set(rec_c) == set(range(12, 17)), sorted(rec_c)
+    for s in rec_c:
+        np.testing.assert_allclose(rec_a[s]["loss"], rec_c[s]["loss"],
+                                   rtol=1e-5)
+    import jax
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x),
+                                                   np.asarray(y)),
+        tr_a.state.params, tr_c.state.params)
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x),
+                                                   np.asarray(y)),
+        tr_a.state.batch_stats, tr_c.state.batch_stats)
+
+
 def test_pack_decode_wire_roundtrip():
     """decode_cls_wire(pack_cls_wire(x)) reproduces the NHWC normalize
     exactly for every layout (values and positions)."""

@@ -158,7 +158,7 @@ class ClassifierTrainer:
                  compute_dtype=jnp.bfloat16, seed: int = 0,
                  sync_bn: bool = False, transfer_layout: str = "s2d",
                  width: float = 1.0, depth: float = 1.0,
-                 profile_steps: int = 0):
+                 profile_steps: int = 0, checkpoint_every_steps: int = 0):
         from yolov4_tpu.classify.data import ImageFolderDataset
         from yolov4_tpu.data.pipeline import DataLoader
         from yolov4_tpu.utils.profiling import StepProfiler
@@ -237,6 +237,12 @@ class ClassifierTrainer:
         self.best_prec1 = 0.0
         self._train_lockstep_done = False
         self._eval_lockstep_done = False
+        # preemption-safe mid-epoch checkpointing (same contract as the
+        # detection trainer's TRAIN.CHECKPOINT_EVERY_STEPS): ImageNet
+        # epochs are long, so per-epoch-only saves lose real work on
+        # preemptible pools. 0 = end-of-epoch saves only.
+        self.ckpt_every = int(checkpoint_every_steps)
+        self._resume_skip = 0
         if resume:
             if resume.endswith((".pth", ".pth.tar", ".pt")):
                 # fail clearly instead of an opaque msgpack unpack error:
@@ -257,13 +263,21 @@ class ClassifierTrainer:
                 opt_state=ckpt_lib.restore_onto(self.state.opt_state,
                                                 raw["opt_state"]))
             meta = raw.get("meta", {})
-            self.start_epoch = int(meta.get("epoch", -1)) + 1
+            if meta.get("mid_epoch"):
+                # re-enter the SAME epoch at the next batch (loader order
+                # and per-batch seeds are index-deterministic)
+                self.start_epoch = int(meta["epoch"])
+                self._resume_skip = int(meta["batch_index"])
+            else:
+                self.start_epoch = int(meta.get("epoch", -1)) + 1
             self.best_prec1 = float(meta.get("best_prec1", 0.0))
             if "step" in meta:
                 self.state = self.state.replace(
                     step=np.asarray(int(meta["step"]), np.int32))
-            logger.info(f"resumed epoch {self.start_epoch} "
-                        f"best_prec1 {self.best_prec1:.3f}")
+            logger.info(
+                f"resumed epoch {self.start_epoch}"
+                + (f" batch {self._resume_skip}" if self._resume_skip else "")
+                + f" best_prec1 {self.best_prec1:.3f}")
 
     def _put(self, imgs, labels):
         imgs = jax.make_array_from_process_local_data(
@@ -274,10 +288,14 @@ class ClassifierTrainer:
 
     def train_epoch(self, epoch: int) -> None:
         self.train_loader.set_epoch(epoch)
+        # mid-epoch resume: skip straight to the checkpointed batch
+        # (consumed once; later epochs start at 0)
+        skip, self._resume_skip = self._resume_skip, 0
+        self.train_loader.start_batch = skip
         n = len(self.train_loader)
         batch_time = AverageMeter()
         end = time.time()
-        for i, (imgs, target) in enumerate(self.train_loader):
+        for i, (imgs, target) in enumerate(self.train_loader, start=skip):
             u8, labels = self._put(imgs, target["label"])
             if jax.process_count() > 1 and not self._train_lockstep_done:
                 # compile, then barrier, then dispatch: gloo's first
@@ -292,6 +310,9 @@ class ClassifierTrainer:
                 # host-side counter: reading state.step would force a sync
                 self._host_step = getattr(self, "_host_step", 0) + 1
                 self.profiler.on_step(self._host_step)
+            if self.ckpt_every and (i + 1) % self.ckpt_every == 0 \
+                    and (i + 1) < n:
+                self._save_mid_epoch(epoch, i + 1)
             if (i + 1) % self.print_freq == 0:
                 loss = float(self.state.loss)
                 batch_time.update((time.time() - end) / self.print_freq)
@@ -310,6 +331,25 @@ class ClassifierTrainer:
                     "img_s": round(
                         self.global_batch / max(batch_time.val, 1e-9), 1),
                     "batch_time_s": round(batch_time.val, 4)})
+
+    def _save_mid_epoch(self, epoch: int, batch_index: int) -> None:
+        """Preemption checkpoint: full state rolls into checkpoint.ckpt
+        atomically (same contract as engine/trainer._save_mid_epoch)."""
+        if jax.process_index() != 0:
+            return
+        meta = {"epoch": epoch, "batch_index": batch_index,
+                "mid_epoch": True, "step": int(self.state.step),
+                "best_prec1": self.best_prec1}
+        bundle = {
+            "variables": {"params": self.state.params,
+                          "batch_stats": self.state.batch_stats},
+            "opt_state": self.state.opt_state,
+            "meta": meta,
+        }
+        ckpt_lib.save_checkpoint(bundle, is_best=False,
+                                 output_dir=self.output_dir, meta=meta)
+        logger.info(f"mid-epoch checkpoint (epoch {epoch + 1} "
+                    f"batch {batch_index}, step {meta['step']})")
 
     def validate(self) -> Tuple[float, float]:
         variables = {"params": self.state.params,
