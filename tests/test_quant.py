@@ -211,6 +211,39 @@ def _span_cfg(wpack, quant, span):
     return cfg
 
 
+def test_caller_calibration_is_kept():
+    """A fresh Predictor built from variables that already CARRY a
+    calibrated "quant" collection (e.g. captured from a previously
+    calibrated predictor for deployment) must serve with those scales —
+    not silently strip them and auto-recalibrate on whatever single live
+    batch arrives first."""
+    from yolov4_tpu.engine.predictor import Predictor
+
+    cfg = load_config()
+    cfg["MODEL"].update(QUANT="int8_static", WIDTH=0.25, DEPTH=0.25)
+    cfg["TEST"].update(IMGSIZE=64, PRE_NMS_TOPK=64, MAX_DETS=10)
+
+    base = build_model(dict(cfg, MODEL={**cfg["MODEL"], "QUANT": "none"}))
+    v = _realistic_bn(init_variables(base, jax.random.PRNGKey(0), 64))
+    pred = Predictor(cfg, variables=v, img_size=64, batch_size=2)
+    rep = np.random.default_rng(1).random((2, 64, 64, 3)).astype(np.float32)
+    pred.calibrate(rep)  # deliberate, representative calibration
+    calibrated = pred.variables
+
+    pred2 = Predictor(cfg, variables=calibrated, img_size=64, batch_size=2)
+    assert pred2._quant_ready and "quant" in pred2.variables
+    other = np.random.default_rng(2).random((2, 64, 64, 3)).astype(np.float32)
+    det, valid = pred2(other)  # must NOT recalibrate on this batch
+    s_kept = jax.tree.leaves(pred2.variables["quant"])
+    s_orig = jax.tree.leaves(calibrated["quant"])
+    for a, b in zip(s_kept, s_orig):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the two predictors agree bit-for-bit on the same input
+    det1, valid1 = pred(other)
+    np.testing.assert_array_equal(np.asarray(det), np.asarray(det1))
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(valid1))
+
+
 def test_full_span_quantizes_stage12():
     """QUANT_SPAN 'full' must actually add int8 conv sites for
     stage1/stage2 over 'late' (guards against the span knob silently

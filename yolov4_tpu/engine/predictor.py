@@ -100,18 +100,27 @@ class Predictor:
             per_proc_dev = n_dev // n_proc
             self.batch_size = -(-self.batch_size // per_proc_dev) * per_proc_dev
 
+        caller_vars = variables is not None
         if variables is None:
             variables = init_variables(
                 self.model, jax.random.PRNGKey(0), self.img_size)
         # int8_static: the model reads CALIBRATED activation scales from a
         # "quant" variable collection (layers.ConvBNAct). calibrate()
         # records them; the first dispatch() auto-calibrates on its own
-        # batch when nobody called it ("calibrate on first batch").
+        # batch when nobody called it ("calibrate on first batch"). A
+        # CALLER-provided "quant" collection is deliberate calibration
+        # (e.g. captured from a previously calibrated predictor's
+        # .variables) and is kept — only init-time zero collections are
+        # stripped so auto-calibration still triggers on fresh params.
         self._quant_static = (
             cfg["MODEL"].get("QUANT", "none") == "int8_static")
         self._quant_ready = not self._quant_static
         if self._quant_static:
-            variables = {k: v for k, v in variables.items() if k != "quant"}
+            if caller_vars and "quant" in variables:
+                self._quant_ready = True
+            else:
+                variables = {k: v for k, v in variables.items()
+                             if k != "quant"}
         self.variables = (jax.device_put(variables, self._replicated)
                           if self._replicated is not None
                           else jax.device_put(variables))
@@ -260,15 +269,22 @@ class Predictor:
             self._quant_ready = True
 
     def warmup(self, dtype=np.float32) -> None:
+        """Compile the EXACT program dispatch() will run: the dummy goes
+        through the same input-sharding path (a single-device zeros array
+        would compile a different executable on mesh predictors — and fail
+        outright multi-process), and the int8_static seed calibration uses
+        the same ``dtype`` as serving so the calibration program traced
+        here is the one the first real calibrate() reuses."""
         if self._quant_static and "quant" not in self.variables:
             # seed a zero-scale collection so the serving program can
             # compile; real scales arrive with the first calibrate()
             self.calibrate(np.zeros(
-                (1, self.img_size, self.img_size, 3), np.float32),
+                (1, self.img_size, self.img_size, 3), dtype),
                 mark_ready=False)
-        dummy = jnp.zeros((self.batch_size, self.img_size ** 2 * 3), dtype)
+        flat = np.zeros((self.batch_size, self.img_size ** 2 * 3), dtype)
         jax.block_until_ready(
-            self._run(self.variables, dummy, self.conf_thre, self.nms_thre))
+            self._run(self.variables, self._to_device(flat),
+                      self.conf_thre, self.nms_thre))
 
     def dispatch(self, images: np.ndarray):
         """Async path: pad/flatten/upload and dispatch the compiled program;
@@ -279,25 +295,28 @@ class Predictor:
         if self._quant_static and not self._quant_ready:
             self.calibrate(images)  # int8_static: calibrate on first batch
         flat = self._pack_flat(images)
-        if self._in_sharding is not None:
-            arr = jax.make_array_from_process_local_data(
-                self._in_sharding, flat)
-            if jax.process_count() > 1 and not self._lockstep_done:
-                # compile first (persistent-cache-backed), THEN barrier via
-                # the coordinator KV store, so all processes reach the
-                # first execution — where gloo creates its communicator
-                # contexts under a hardcoded ~30 s rendezvous — together.
-                # Cross-process compile skew on contended hosts otherwise
-                # kills the job (see parallel.mesh.coordinator_lockstep).
-                from yolov4_tpu.parallel.mesh import coordinator_lockstep
-                self._run.lower(self.variables, arr, self.conf_thre,
-                                self.nms_thre).compile()
-                coordinator_lockstep(f"predictor_{self.img_size}"
-                                     f"_{self.batch_size}")
-                self._lockstep_done = True
-        else:
-            arr = jnp.asarray(flat)
+        arr = self._to_device(flat)
         return self._run(self.variables, arr, self.conf_thre, self.nms_thre)
+
+    def _to_device(self, flat: np.ndarray):
+        """Host wire bytes -> device array through the serving input path:
+        the mesh input sharding when present (one global array assembled
+        from per-process shards), with the multi-process compile-then-
+        barrier on first use — gloo creates its communicator contexts at
+        the first execution under a hardcoded ~30 s rendezvous, which
+        cross-process compile skew on contended hosts otherwise blows
+        (see parallel.mesh.coordinator_lockstep)."""
+        if self._in_sharding is None:
+            return jnp.asarray(flat)
+        arr = jax.make_array_from_process_local_data(self._in_sharding, flat)
+        if jax.process_count() > 1 and not self._lockstep_done:
+            from yolov4_tpu.parallel.mesh import coordinator_lockstep
+            self._run.lower(self.variables, arr, self.conf_thre,
+                            self.nms_thre).compile()
+            coordinator_lockstep(f"predictor_{self.img_size}"
+                                 f"_{self.batch_size}")
+            self._lockstep_done = True
+        return arr
 
     @staticmethod
     def fetch_local(arr) -> np.ndarray:

@@ -305,12 +305,6 @@ def _quant_weights_folded(wf):
     return jnp.round(wf / sw).astype(jnp.int8), sw
 
 
-def _quant_weights(kernel, bn_scale):
-    """BN-folded per-output-channel int8 weight quantization:
-    (wq int8 [k,k,ci,co], sw f32 [co])."""
-    return _quant_weights_folded(kernel * bn_scale)
-
-
 def _quant_state(mdl, qmode, x, wf):
     """Quant-collection plumbing shared by the int8 conv layers.
 
@@ -346,7 +340,7 @@ def _quant_state(mdl, qmode, x, wf):
 
 def _quant_conv(x, wq, sw, bn_bias, strides, padding, out_dtype, amax=None):
     """Eval-only int8 conv: BN folded into the pre-quantized kernel
-    (``_quant_weights``), activations per-tensor, the conv run
+    (``_quant_weights_folded``), activations per-tensor, the conv run
     s8 x s8 -> s32 on the MXU, then dequantized + biased in f32.
 
     ``amax``: the activation scale source. None computes the abs-max of x
@@ -567,6 +561,15 @@ class ConvBNAct(nn.Module):
                                  "stride2_from_wpack", "stride2_w2w")
                 and not (self.s2d == "stride2"
                          and (x.shape[1] % 2 or x.shape[2] % 2))):
+            # same validity contract as the bf16 s2d lowering below — a
+            # misconfiguration must crash here too, not silently declare a
+            # wrong-shaped kernel in quantized eval
+            assert self.kernel_size == 3, \
+                "s2d lowering supports bias-free 3x3 convs"
+            assert (self.s2d, self.stride) in (
+                ("stride2", 2), ("stride2_pre", 2), ("stride2_pre_wpack", 2),
+                ("stride2_wpack", 2), ("stride2_from_wpack", 2),
+                ("stride2_w2w", 2))
             # Quantized strided base convs (the s2d/wpack rearranged-kernel
             # forms): BN folds into the ORIGINAL kernel, then the same
             # trace-time rearrangement as the bf16 path runs on the folded
