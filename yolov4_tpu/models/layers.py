@@ -446,11 +446,19 @@ def _link_quant_concat(mdl, name, parts, active):
     return QTensor(jnp.concatenate(qs, axis=-1), sx)
 
 
+def _qmode(quant):
+    """Normalize the MODEL.QUANT value: config booleans map onto the two
+    canonical modes ("none"/"int8"); strings pass through. ONE copy of
+    this mapping — adding a mode must not depend on per-site .get()
+    defaults silently swallowing it."""
+    return {False: "none", True: "int8"}.get(quant, quant)
+
+
 def _chain_active(quant, quant_chain, train):
     """True when int8_static link chaining applies — the one predicate
     every ``_link_quant`` call site gates on (eval-only, static mode,
     MODEL.QUANT_CHAIN enabled)."""
-    qmode = {False: "none", True: "int8"}.get(quant, quant)
+    qmode = _qmode(quant)
     return bool(quant_chain) and qmode == "int8_static" and not train
 
 
@@ -513,7 +521,7 @@ class ConvBNAct(nn.Module):
         assert not input_s2d or self.s2d == "stride1_keep", \
             "input_s2d requires the stride1_keep stem"
         pad = (self.kernel_size - 1) // 2
-        qmode = {False: "none", True: "int8"}.get(self.quant, self.quant)
+        qmode = _qmode(self.quant)
         chained = isinstance(x, QTensor)
         if (qmode != "none" and not train and self.s2d == "stride1_keep"
                 and not chained and x.dtype == jnp.uint8
@@ -768,7 +776,7 @@ class _WPackConvBN(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         pad = (self.ksize - 1) // 2
-        qmode = {False: "none", True: "int8"}.get(self.quant, self.quant)
+        qmode = _qmode(self.quant)
         if qmode != "none" and not train:
             kernel = _ConvKernel((self.ksize, self.ksize, self.cin,
                                   self.cout), name="conv")()
@@ -974,7 +982,7 @@ class CSPDownSample0(nn.Module):
 
         from yolov4_tpu.ops.csp_pallas import (fused_csp_stage,
                                                fused_csp_supported)
-        quant_on = {False: "none", True: "int8"}.get(q, q) != "none"
+        quant_on = _qmode(q) != "none"
         if (self.fused and not train and self.act == "mish"
                 and not quant_on
                 and fused_csp_supported(x.shape, 0, dtype=x.dtype)):
@@ -1073,8 +1081,7 @@ class CSPDownSample(nn.Module):
 
         from yolov4_tpu.ops.csp_pallas import (fused_csp_stage,
                                                fused_csp_supported)
-        quant_on = {False: "none", True: "int8"}.get(self.quant,
-                                                     self.quant) != "none"
+        quant_on = _qmode(self.quant) != "none"
         if (self.fused and not train and self.act == "mish"
                 and self.shortcut and not quant_on
                 and fused_csp_supported(x.shape, self.num_blocks,

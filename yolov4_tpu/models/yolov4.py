@@ -87,7 +87,8 @@ class YOLOv4(nn.Module):
         # uint8 stays uint8 into the Backbone: the quantized stem consumes
         # the wire bytes directly (exact shifted-s8 lowering) and the
         # non-quant paths normalize at the stem (darknet.Backbone)
-        quant = {False: "none", True: "int8"}.get(self.quant, self.quant)
+        from yolov4_tpu.models.layers import _qmode
+        quant = _qmode(self.quant)
         x3, x4, x5 = Backbone(return_pyramid=True, dtype=self.dtype,
                               s2d=self.s2d, pallas_csp=self.pallas_csp,
                               wpack=self.wpack, quant=quant,

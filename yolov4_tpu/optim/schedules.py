@@ -42,6 +42,12 @@ def build_lr_schedule(cfg: Dict, len_epoch: int) -> Callable:
 
     elif sched_type == "CosineAnnealingLR":
         t_max = int(cfg["TRAIN"]["MAX_EPOCHS"]) - warmup_epoch
+        if t_max <= 0:
+            # fail at build time: t_max=0 makes the post-warmup LR 0/0
+            # (NaN params with no error), negative t_max inverts the curve
+            raise ValueError(
+                f"CosineAnnealingLR needs MAX_EPOCHS > WARMUP_EPOCH "
+                f"(got {cfg['TRAIN']['MAX_EPOCHS']} <= {warmup_epoch})")
         eta_min = float(sched["MINIMAL_LR"])
 
         def post_warmup_lr(epoch):

@@ -33,20 +33,34 @@ def save_checkpoint(state: Dict[str, Any], is_best: bool,
     (reference utils.py:17-24 semantics, AP50 criterion decided by caller)."""
     os.makedirs(output_dir, exist_ok=True)
     path = os.path.join(output_dir, filename)
-    tmp = path + ".tmp"
+
+    def atomic_write(dst, write_fn):
+        # EVERY artifact gets tmp+replace: a preemption mid-copy must not
+        # leave a truncated model_best.ckpt (the file detect/serve/val
+        # consume), which would stay corrupt until the NEXT improvement
+        tmp = dst + ".tmp"
+        write_fn(tmp)
+        os.replace(tmp, dst)
+
     data = serialization.msgpack_serialize(
         serialization.to_state_dict(state), in_place=True)
-    with open(tmp, "wb") as f:
-        f.write(data)
-    os.replace(tmp, path)  # atomic
+
+    def write_blob(p, blob=data):
+        with open(p, "wb") as f:
+            f.write(blob)
+
+    atomic_write(path, write_blob)
     if meta is not None:
-        with open(path + META_SUFFIX, "w") as f:
-            json.dump(meta, f, indent=2, default=float)
+        def write_meta(p):
+            with open(p, "w") as f:
+                json.dump(meta, f, indent=2, default=float)
+        atomic_write(path + META_SUFFIX, write_meta)
     if is_best:
-        shutil.copyfile(path, os.path.join(output_dir, BEST_NAME))
+        best = os.path.join(output_dir, BEST_NAME)
+        atomic_write(best, lambda p: shutil.copyfile(path, p))
         if meta is not None:
-            shutil.copyfile(path + META_SUFFIX,
-                            os.path.join(output_dir, BEST_NAME) + META_SUFFIX)
+            atomic_write(best + META_SUFFIX,
+                         lambda p: shutil.copyfile(path + META_SUFFIX, p))
     return path
 
 

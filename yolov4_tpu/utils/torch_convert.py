@@ -209,6 +209,16 @@ def check_compatible(converted: Mapping[str, Any], variables: Mapping[str, Any],
                      subtree: Path = ()) -> None:
     """Raise if the converted tree does not exactly match the model's
     variable structure (strict load, like torch load_state_dict(strict=True))."""
+    # strict means MISSING COLLECTIONS fail too: a params-only checkpoint
+    # (convert_state_dict drops an empty batch_stats) would otherwise pass
+    # and silently evaluate with fresh BN mean=0/var=1 — garbage AP with
+    # no error, exactly what strict=True exists to prevent
+    absent = [c for c in variables if c not in converted]
+    if absent:
+        raise ValueError(
+            f"strict load failed: checkpoint has no {absent} collection(s) "
+            f"(model expects {sorted(variables)}); a params-only torch "
+            f"checkpoint is missing the BN running statistics")
     for collection in converted:
         expected = variables[collection]
         for seg in subtree:
@@ -231,16 +241,24 @@ def check_compatible(converted: Mapping[str, Any], variables: Mapping[str, Any],
 def merge_subtree(variables: Dict[str, Any], converted: Mapping[str, Any],
                   subtree: Path = ()) -> Dict[str, Any]:
     """Return a copy of ``variables`` with ``converted`` grafted in at
-    ``subtree`` (e.g. ('backbone',) for pretrained-backbone load)."""
-    import copy
+    ``subtree`` (e.g. ('backbone',) for pretrained-backbone load).
 
-    out = copy.deepcopy(variables)
+    Copies only the dict CONTAINERS, sharing the weight leaves: nothing
+    in this codebase mutates leaves in place, and a deepcopy would
+    materialize two extra full models (~250 MB each for YOLOv4, plus
+    device round-trips for jitted-init arrays) at every startup graft."""
+    def copy_dirs(node):
+        if isinstance(node, Mapping):
+            return {k: copy_dirs(v) for k, v in node.items()}
+        return node
+
+    out = {c: copy_dirs(t) for c, t in variables.items()}
     for collection, tree in converted.items():
         node = out[collection]
         for seg in subtree[:-1]:
             node = node[seg]
         if subtree:
-            node[subtree[-1]] = copy.deepcopy(dict(tree))
+            node[subtree[-1]] = copy_dirs(dict(tree))
         else:
-            out[collection] = copy.deepcopy(dict(tree))
+            out[collection] = copy_dirs(dict(tree))
     return out
