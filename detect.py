@@ -15,7 +15,6 @@ torch .pth.tar (auto-converted).
 from __future__ import annotations
 
 import argparse
-import glob
 import os
 import time
 from pathlib import Path
@@ -65,11 +64,14 @@ def increment_path(path: str) -> Path:
             if not candidate.exists():
                 path = candidate
                 break
+        else:  # never silently reuse (= overwrite) an existing run dir
+            raise SystemExit(f"error: {path}2..{path}9998 all exist")
     path.mkdir(parents=True, exist_ok=True)
     return path
 
 
 VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv", ".webm")
+IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
 
 def list_images(source: str):
@@ -77,8 +79,10 @@ def list_images(source: str):
         return [source]
     if not os.path.isdir(source):
         raise SystemExit(f"error: --source {source!r} is neither a file nor a directory")
-    return sorted(glob.glob(os.path.join(source, "*.jpg"))
-                  + glob.glob(os.path.join(source, "*.png")))
+    # extension match is case-insensitive: camera files are often .JPG
+    return sorted(
+        os.path.join(source, f) for f in os.listdir(source)
+        if f.lower().endswith(IMAGE_EXTS))
 
 
 def process_video(predictor, transform, img_size: int, src_path: str,
@@ -172,7 +176,8 @@ def main():
     paths = [] if video_mode else list_images(args.source)
     if not video_mode:
         if not paths:
-            raise FileNotFoundError(f"no .jpg/.png under {args.source}")
+            raise FileNotFoundError(
+                f"no image files ({'/'.join(IMAGE_EXTS)}) under {args.source}")
         logger.info(f"detecting {len(paths)} image(s) at {img_size}x"
                     f"{img_size}, conf {conf_thre}, nms {nms_thre}")
 
@@ -210,25 +215,26 @@ def main():
     dest = increment_path(os.path.join(args.dest, "exp"))
     t0 = time.time()
     n_done = 0
+
     # decode + preprocess per chunk (constant memory — a large --source
     # directory must not hold every raw frame + canvas in RAM at once)
-    for start in range(0, len(paths), predictor.batch_size):
-        chunk_paths = paths[start:start + predictor.batch_size]
+    def load_chunk(start):
         raw_imgs, batch, infos = [], [], []
-        for p in chunk_paths:
+        for p in paths[start:start + predictor.batch_size]:
             img = cv2.imread(p)
             assert img is not None, p
             out, target = transform([img], [np.zeros((0, 5))], img_size)
             raw_imgs.append(img)
             batch.append(out)
             infos.append(target["img_info"])
-        chunk = np.stack(batch)
-        dets, valids = predictor(chunk)
-        for i in range(chunk.shape[0]):
+        return raw_imgs, np.stack(batch), infos
+
+    def draw_chunk(start, raw_imgs, infos, dets, valids):
+        nonlocal n_done
+        for i in range(len(raw_imgs)):
             idx = start + i
             src_h, src_w, dst_h, dst_w = infos[i][:4]
-            det, valid = dets[i], valids[i]
-            det = det[valid]
+            det = dets[i][valids[i]]
             boxes = np.asarray(unmap_to_source_xyxy(
                 det[:, :4], (src_h, src_w), (dst_h, dst_w)))
             scores = det[:, 4] * det[:, 5]
@@ -237,14 +243,36 @@ def main():
             summary = {}
             for c in cls_idxs:
                 summary[class_name(c)] = summary.get(class_name(c), 0) + 1
-            desc = ", ".join(f"{v} {k}" for k, v in summary.items()) or "no detections"
+            desc = (", ".join(f"{v} {k}" for k, v in summary.items())
+                    or "no detections")
             logger.info(f"image {idx + 1}/{len(paths)} "
                         f"{os.path.basename(paths[idx])}: {desc}")
 
-            drawn = draw_detections(raw_imgs[i].copy(), boxes, scores, cls_idxs)
+            drawn = draw_detections(raw_imgs[i].copy(), boxes, scores,
+                                    cls_idxs)
             out_path = os.path.join(str(dest), os.path.basename(paths[idx]))
             cv2.imwrite(out_path, drawn)
             n_done += 1
+
+    def consume(pending):
+        start, raw_imgs, infos, out = pending
+        dets = predictor.fetch_local(out[0])[:len(raw_imgs)]
+        valids = predictor.fetch_local(out[1])[:len(raw_imgs)]
+        draw_chunk(start, raw_imgs, infos, dets, valids)
+
+    # dispatch-ahead (the process_video pattern): the next chunk's decode/
+    # preprocess/upload overlaps the previous chunk's device pass — the
+    # serial loop left the chip idle per chunk, which roughly halves
+    # throughput when transfer latency dominates (the tunneled setup)
+    pending = None
+    for start in range(0, len(paths), predictor.batch_size):
+        raw_imgs, chunk, infos = load_chunk(start)
+        out = predictor.dispatch(chunk)
+        if pending is not None:
+            consume(pending)
+        pending = (start, raw_imgs, infos, out)
+    if pending is not None:
+        consume(pending)
 
     dt = time.time() - t0
     logger.info(f"done: {n_done} image(s) in {dt:.2f}s -> {dest}")

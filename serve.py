@@ -57,9 +57,11 @@ def parse_args():
                         help="shard each serving batch over all local "
                              "devices (GSPMD-partitioned program; "
                              "batch-size is per process)")
-    parser.add_argument("--conf-thre", type=float, default=0.25,
+    parser.add_argument("--conf-thre", type=float, default=-0.1,
                         help="bucket detection threshold (requests may "
-                             "raise it per call via ?conf=)")
+                             "raise it per call via ?conf=); default: cfg "
+                             "TEST.CONFTHRE, same fallback as --nms-thre "
+                             "and the val/detect CLIs")
     parser.add_argument("--nms-thre", type=float, default=-0.1)
     parser.add_argument("--quant", choices=("none", "int8", "int8_static"),
                         default=None,
@@ -77,7 +79,7 @@ def main():
             ("--ckpt", args.ckpt, None), ("--sizes", args.sizes, None),
             ("--quant", args.quant, None), ("--mesh", args.mesh, False),
             ("--batch-size", args.batch_size, 16),
-            ("--conf-thre", args.conf_thre, 0.25),
+            ("--conf-thre", args.conf_thre, -0.1),
             ("--nms-thre", args.nms_thre, -0.1),
         ) if val != default]
         if ignored:
@@ -95,6 +97,11 @@ def main():
         cfg = load_config(args.cfg)
         if args.quant is not None:
             cfg["MODEL"]["QUANT"] = args.quant
+        # both thresholds fall back to the cfg TEST section, like the
+        # val/detect CLIs — an eval'd model must serve the same
+        # detections it was evaluated with unless told otherwise
+        conf_thre = (cfg["TEST"]["CONFTHRE"] if args.conf_thre < 0
+                     else args.conf_thre)
         nms_thre = (cfg["TEST"]["NMSTHRE"] if args.nms_thre < 0
                     else args.nms_thre)
         sizes = ([int(s) for s in args.sizes.split(",")] if args.sizes
@@ -114,31 +121,36 @@ def main():
         runtime = ServingRuntime(
             cfg, variables=variables, sizes=sizes,
             batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
-            inflight=args.inflight, conf_thre=args.conf_thre,
+            inflight=args.inflight, conf_thre=conf_thre,
             nms_thre=nms_thre, request_timeout_s=args.request_timeout_s,
             mesh=mesh)
         logger.info(f"warming {len(sizes)} bucket(s) {sizes} at batch "
-                    f"{args.batch_size} (first compile of a new shape can "
-                    f"take minutes; cached shapes are seconds)...")
-    runtime.start(warmup=True)
-
-    srv = make_server(runtime, host=args.host, port=args.port)
-    logger.info(f"serving on http://{args.host}:{srv.server_address[1]} — "
-                f"POST /v1/detect /v1/detect_raw, "
-                f"GET /healthz /metrics /stats /v1/config")
+                    f"{args.batch_size}, conf {conf_thre}, nms {nms_thre} "
+                    f"(first compile of a new shape can take minutes; "
+                    f"cached shapes are seconds)...")
 
     import signal
 
     def _term(signum, frame):  # containers stop with SIGTERM
         raise KeyboardInterrupt
 
+    # installed BEFORE the warmup compile: an orchestrator SIGTERM during
+    # the multi-minute first compile must take the graceful path too
     signal.signal(signal.SIGTERM, _term)
+    srv = None
     try:
+        runtime.start(warmup=True)
+        srv = make_server(runtime, host=args.host, port=args.port)
+        logger.info(f"serving on http://{args.host}:"
+                    f"{srv.server_address[1]} — "
+                    f"POST /v1/detect /v1/detect_raw, "
+                    f"GET /healthz /metrics /stats /v1/config")
         srv.serve_forever()
     except KeyboardInterrupt:
         logger.info("shutting down")
     finally:
-        srv.shutdown()
+        if srv is not None:
+            srv.shutdown()
         runtime.close()
 
 

@@ -38,6 +38,25 @@ def test_nms_keeps_best_and_nonoverlapping():
     np.testing.assert_allclose(kept[0, :4], [75, 75, 125, 125], rtol=1e-5)
 
 
+def test_negative_coords_never_suppress_across_classes():
+    """Decoded boxes are unclipped (edge centers with large wh go
+    negative); the class-offset span must cover the full coordinate
+    RANGE or a negative-coordinate box hangs into the previous class's
+    island (offset IoU up to 0.25 with a max|coord|-sized span) and
+    gets cross-class-suppressed at nms_thre < 0.25."""
+    preds = np.stack([
+        # class 0, bottom-right corner (defines the coordinate maximum)
+        _pred_row(675.5, 675.5, 49, 49, 0.9, 0, 0.9),
+        # class 1, hanging off the top-left: x1 = y1 = -50
+        _pred_row(0, 0, 100, 100, 0.8, 1, 0.8),
+    ])[None]
+    det, valid = postprocess(jnp.asarray(preds), 80, conf_thre=0.3,
+                             nms_thre=0.2, pre_nms_topk=64, max_dets=10)
+    d = np.asarray(det)[0][np.asarray(valid)[0]]
+    assert d.shape[0] == 2, d  # different classes: BOTH survive
+    assert sorted(int(r[6]) for r in d) == [0, 1]
+
+
 def test_suppressed_box_does_not_suppress():
     """Greedy chain: A kills B; C overlaps only B, so C survives."""
     preds = np.stack([

@@ -95,23 +95,15 @@ def _anchor_iou_wh(gt_wh: jnp.ndarray, anchors_wh: jnp.ndarray) -> jnp.ndarray:
 
 
 def _iou_cxcywh(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
-    """Pairwise IoU, center format (reference bboxes_iou xyxy=False).
+    """Pairwise IoU, center format (reference bboxes_iou xyxy=False):
+    the one shared implementation in ops/boxes — its strict tl<br
+    intersection validity and guarded union are the parity-critical
+    semantics, kept in exactly one place.
 
     pred: [B, N, 4]; gt: [B, K, 4] -> [B, N, K]
     """
-    p_tl = pred[..., :2] - pred[..., 2:4] / 2
-    p_br = pred[..., :2] + pred[..., 2:4] / 2
-    g_tl = gt[..., :2] - gt[..., 2:4] / 2
-    g_br = gt[..., :2] + gt[..., 2:4] / 2
-
-    tl = jnp.maximum(p_tl[:, :, None, :], g_tl[:, None, :, :])
-    br = jnp.minimum(p_br[:, :, None, :], g_br[:, None, :, :])
-    valid = jnp.all(tl < br, axis=-1)
-    inter = jnp.where(valid, jnp.prod(br - tl, axis=-1), 0.0)
-    area_p = jnp.prod(pred[..., 2:4], axis=-1)
-    area_g = jnp.prod(gt[..., 2:4], axis=-1)
-    union = area_p[:, :, None] + area_g[:, None, :] - inter
-    return inter / jnp.maximum(union, 1e-16)
+    from yolov4_tpu.ops.boxes import iou_pairwise_safe
+    return iou_pairwise_safe(pred, gt, fmt="cxcywh", eps=1e-16)
 
 
 class YOLOLoss:

@@ -167,8 +167,12 @@ def postprocess(predictions: jnp.ndarray, num_classes: int,
     sel_obj = jnp.take_along_axis(sel_obj_boxes, box_local, axis=1)
     sel_cls_conf = top_scores / jnp.maximum(sel_obj, 1e-16)
 
-    # class-offset trick: disjoint coordinate islands per class
-    span = jnp.max(jnp.abs(sel_boxes)) + 1.0
+    # class-offset trick: disjoint coordinate islands per class. The span
+    # must cover the full coordinate RANGE: decoded boxes are unclipped
+    # (centers near an edge with large wh go negative), and max(|coords|)+1
+    # lets a negative-coordinate box hang into the previous class's island
+    # (measured IoU up to 0.25 — cross-class suppression at nms_thre<0.25).
+    span = 2.0 * jnp.max(jnp.abs(sel_boxes)) + 1.0
     offset_boxes = sel_boxes + (cls_idx.astype(jnp.float32) * span)[..., None]
     # "auto": the Pallas kernel (on-the-fly VMEM IoU tiles, ~2x the XLA
     # path on chip, bit-identical results) on TPU when the candidate
