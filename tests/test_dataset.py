@@ -36,6 +36,11 @@ def test_dataset_raw_labels(fake_root):
     if len(boxes):
         assert boxes.shape[1] == 5
         assert (boxes[:, 4] >= 0).all() and (boxes[:, 4] < 80).all()
+    # the no-transform __getitem__ path: always [N, 5]-shaped (even N=0)
+    # under its own key — this is NOT the fixed padded_labels contract
+    _, target = ds[0]
+    assert target["raw_labels"].ndim == 2
+    assert target["raw_labels"].shape[1] == 5
 
 
 def test_dataset_train_mosaic(fake_root):

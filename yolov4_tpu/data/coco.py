@@ -55,8 +55,11 @@ COCO_CLASS_IDS = [
 
 
 def get_coco_label_names():
-    """(names, class_ids, colors) — reference cocodataset.py:24-55."""
-    colors = np.random.randint(128, 255, size=(80, 3))
+    """(names, class_ids, colors) — reference cocodataset.py:24-55.
+
+    Colors come from a private seeded RNG: a lookup helper must neither
+    return different colors per call nor perturb global np.random state."""
+    colors = np.random.RandomState(12345).randint(128, 255, size=(80, 3))
     return COCO_LABEL_NAMES, COCO_CLASS_IDS, colors
 
 
@@ -156,13 +159,30 @@ class COCODataset:
     def __getitem__(self, index: int):
         img, bboxes, img_id = self.get_img_and_labels(index)
         if self.transform is None:
-            return img, {"padded_labels": bboxes, "img_info": [img_id, index]}
+            # debug/inspection path: RAW variable-length labels, always
+            # [N, 5]-shaped (N may be 0) — NOT the fixed [60, 5] contract
+            # the batching stack collates, hence the distinct key
+            return img, {"raw_labels": bboxes.reshape(-1, 5),
+                         "img_info": [img_id, index]}
 
         img_list, bboxes_list = [img], [bboxes]
         if self.is_train and getattr(self.transform, "is_mosaic", False):
             for _ in range(3):
+                # reference mosaic semantics (cocodataset.py:124-133):
+                # redraw until the extra image has labels — but FAIL
+                # loudly on degenerate datasets where nothing does (the
+                # unbounded loop hangs a loader worker silently)
                 extra_img, extra_boxes, _ = self.get_img_and_labels()
+                tries = 0
                 while len(extra_boxes) == 0:
+                    tries += 1
+                    if tries > max(1000, 4 * len(self)):
+                        raise RuntimeError(
+                            "mosaic: no image with surviving labels found "
+                            f"after {tries} draws — every annotation is "
+                            "filtered out (min_size/class filters); "
+                            "disable AUGMENTATION.IS_MOSAIC or fix the "
+                            "dataset")
                     extra_img, extra_boxes, _ = self.get_img_and_labels()
                 img_list.append(extra_img)
                 bboxes_list.append(extra_boxes)

@@ -102,11 +102,25 @@ def _gather_rows(rows: List[Dict], ids: List[int]) -> Tuple[List[Dict], List[int
 def validate(val_loader, predictor, conf_threshold: Optional[float] = None,
              nms_threshold: Optional[float] = None,
              verbose: bool = True) -> Tuple[float, float]:
-    """Run COCO eval; returns (AP[.50:.95], AP50) like the reference."""
+    """Run COCO eval; returns (AP[.50:.95], AP50) like the reference.
+
+    Threshold overrides are CALL-SCOPED (restored on exit): an AP sweep
+    at conf 0.001 must not leave a reused predictor flooding later
+    detection/serving calls with low-confidence rows. The thresholds are
+    traced jit arguments, so swapping them costs no recompile."""
+    saved = (predictor.conf_thre, predictor.nms_thre)
     if conf_threshold is not None:
         predictor.conf_thre = conf_threshold
     if nms_threshold is not None:
         predictor.nms_thre = nms_threshold
+    try:
+        return _validate(val_loader, predictor, verbose)
+    finally:
+        predictor.conf_thre, predictor.nms_thre = saved
+
+
+def _validate(val_loader, predictor,
+              verbose: bool = True) -> Tuple[float, float]:
 
     dataset = val_loader.dataset
     batch_time = AverageMeter()

@@ -38,6 +38,9 @@ def setup_jax(cache_dir: str | None = None, enable_x64: bool = False) -> None:
     if platform:
         jax.config.update("jax_platforms", platform)
 
+    if enable_x64:  # was a silently-ignored parameter before
+        jax.config.update("jax_enable_x64", True)
+
     cache_dir = cache_dir or os.environ.get("YOLOV4_TPU_JAX_CACHE", _DEFAULT_CACHE)
     # XLA:CPU AOT executables are host-machine-specific (loading an entry
     # compiled on a different box spams machine-feature-mismatch errors and

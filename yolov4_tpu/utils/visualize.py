@@ -14,8 +14,17 @@ _COLORS = np.random.RandomState(12345).randint(96, 255, size=(80, 3))
 
 
 def class_name(cls_idx: int) -> str:
-    """Model class index (0..79) -> COCO label name."""
-    return COCO_LABEL_NAMES[COCO_CLASS_IDS[int(cls_idx)]]
+    """Model class index (0..79) -> COCO label name.
+
+    Assumes the STANDARD 80-class COCO table, exactly like the
+    reference's hardcoded label list (cocodataset.py:24-55): a model
+    trained on a custom/subset category table gets generic names here
+    (the dataset-derived mapping lives in COCODataset.class_ids and is
+    what the EVALUATOR uses — drawing/serving labels are cosmetic)."""
+    i = int(cls_idx)
+    if not 0 <= i < len(COCO_CLASS_IDS):
+        return f"class_{i}"
+    return COCO_LABEL_NAMES[COCO_CLASS_IDS[i]]
 
 
 def draw_detections(img_bgr: np.ndarray, boxes_xyxy: np.ndarray,
