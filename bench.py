@@ -96,12 +96,18 @@ _print_lock = threading.Lock()
 
 
 def _persist_last(result: dict) -> None:
+    # atomic tmp+replace: the watchdog thread os._exit(0)s at any moment
+    # (and the driver SIGKILLs on timeout) — a write truncated mid-dump
+    # would silently lose last_recorded for every future outage fallback
     try:
-        with open(LAST_RESULT_PATH, "w") as f:
-            json.dump({"recorded_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
-                                                    time.gmtime()),
-                       "source": "bench.py successful run",
-                       "result": result}, f, indent=1)
+        blob = json.dumps({"recorded_at": time.strftime(
+                               "%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                           "source": "bench.py successful run",
+                           "result": result}, indent=1)
+        tmp = f"{LAST_RESULT_PATH}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            f.write(blob)
+        os.replace(tmp, LAST_RESULT_PATH)
     except Exception as e:  # noqa: BLE001
         print(f"could not persist last result: {e!r}", file=sys.stderr)
 
@@ -233,9 +239,22 @@ def ensure_backend() -> bool:
         this_probe_s = max(30.0, min(probe_s, deadline() - time.time()
                                      - WATCHDOG_MARGIN_S - 5))
         try:
-            subprocess.run([sys.executable, "-c", code], check=True,
-                           timeout=this_probe_s, capture_output=True)
-            return True
+            # registered as _state["child"] so a watchdog os._exit kills
+            # it too — an orphaned probe would keep compiling through the
+            # shared tunnel for minutes after bench already exited
+            child = subprocess.Popen([sys.executable, "-c", code],
+                                     stdout=subprocess.DEVNULL,
+                                     stderr=subprocess.DEVNULL)
+            _state["child"] = child
+            try:
+                rc = child.wait(timeout=this_probe_s)
+            finally:
+                if child.poll() is None:
+                    child.kill()
+                _state["child"] = None
+            if rc == 0:
+                return True
+            raise RuntimeError(f"probe rc={rc}")
         except Exception:
             if time.time() >= probe_deadline:
                 # distinguish "tunnel dead through the WHOLE grace window"

@@ -230,6 +230,21 @@ def test_caller_calibration_is_kept():
     pred.calibrate(rep)  # deliberate, representative calibration
     calibrated = pred.variables
 
+    # ...but the compile-only SEED scales warmup() records before
+    # calibration are never published via .variables, so a predictor
+    # rebuilt from a warmed-but-uncalibrated predictor's variables still
+    # auto-calibrates (degenerate zero-image scales must never be
+    # mistaken for calibration)
+    seed_pred = Predictor(cfg, variables=v, img_size=64, batch_size=2)
+    seed_pred.warmup(dtype=np.float32)
+    assert "quant" not in seed_pred.variables
+    assert seed_pred._quant_seed is not None
+    assert not seed_pred._quant_ready
+    pred_from_seed = Predictor(cfg, variables=seed_pred.variables,
+                               img_size=64, batch_size=2)
+    assert not pred_from_seed._quant_ready, \
+        "zero-seed scales must not be served as calibration"
+
     pred2 = Predictor(cfg, variables=calibrated, img_size=64, batch_size=2)
     assert pred2._quant_ready and "quant" in pred2.variables
     other = np.random.default_rng(2).random((2, 64, 64, 3)).astype(np.float32)

@@ -115,8 +115,12 @@ class Predictor:
         self._quant_static = (
             cfg["MODEL"].get("QUANT", "none") == "int8_static")
         self._quant_ready = not self._quant_static
+        self._quant_seed = None  # compile-only scales (see calibrate)
         if self._quant_static:
             if caller_vars and "quant" in variables:
+                # caller quant can only come from a CALIBRATED predictor's
+                # .variables (warmup's pre-calibration seed scales are
+                # never published there) — keep it, don't recalibrate
                 self._quant_ready = True
             else:
                 variables = {k: v for k, v in variables.items()
@@ -264,9 +268,14 @@ class Predictor:
                 quant)
         put = (lambda t: jax.device_put(t, self._replicated)
                if self._replicated is not None else jax.device_put(t))
-        self.variables = {**base, "quant": put(quant)}
         if mark_ready:
+            self.variables = {**base, "quant": put(quant)}
             self._quant_ready = True
+        else:
+            # compile-only SEED scales (warmup before calibration): kept
+            # OUT of .variables so a caller capturing .variables can never
+            # mistake degenerate pre-calibration scales for calibration
+            self._quant_seed = put(quant)
 
     def warmup(self, dtype=np.float32) -> None:
         """Compile the EXACT program dispatch() will run: the dummy goes
@@ -275,15 +284,19 @@ class Predictor:
         outright multi-process), and the int8_static seed calibration uses
         the same ``dtype`` as serving so the calibration program traced
         here is the one the first real calibrate() reuses."""
-        if self._quant_static and "quant" not in self.variables:
-            # seed a zero-scale collection so the serving program can
-            # compile; real scales arrive with the first calibrate()
-            self.calibrate(np.zeros(
-                (1, self.img_size, self.img_size, 3), dtype),
-                mark_ready=False)
+        variables = self.variables
+        if self._quant_static and "quant" not in variables:
+            if self._quant_seed is None:
+                # seed scales so the serving program can compile; real
+                # scales arrive with the first calibrate(). The seed stays
+                # out of .variables (see calibrate).
+                self.calibrate(np.zeros(
+                    (1, self.img_size, self.img_size, 3), dtype),
+                    mark_ready=False)
+            variables = {**variables, "quant": self._quant_seed}
         flat = np.zeros((self.batch_size, self.img_size ** 2 * 3), dtype)
         jax.block_until_ready(
-            self._run(self.variables, self._to_device(flat),
+            self._run(variables, self._to_device(flat, variables),
                       self.conf_thre, self.nms_thre))
 
     def dispatch(self, images: np.ndarray):
@@ -298,20 +311,23 @@ class Predictor:
         arr = self._to_device(flat)
         return self._run(self.variables, arr, self.conf_thre, self.nms_thre)
 
-    def _to_device(self, flat: np.ndarray):
+    def _to_device(self, flat: np.ndarray, variables=None):
         """Host wire bytes -> device array through the serving input path:
         the mesh input sharding when present (one global array assembled
         from per-process shards), with the multi-process compile-then-
         barrier on first use — gloo creates its communicator contexts at
         the first execution under a hardcoded ~30 s rendezvous, which
         cross-process compile skew on contended hosts otherwise blows
-        (see parallel.mesh.coordinator_lockstep)."""
+        (see parallel.mesh.coordinator_lockstep). ``variables``: the tree
+        the caller will feed _run (warmup's seed-merged tree) so the
+        lockstep pre-compile matches the executed signature."""
         if self._in_sharding is None:
             return jnp.asarray(flat)
         arr = jax.make_array_from_process_local_data(self._in_sharding, flat)
         if jax.process_count() > 1 and not self._lockstep_done:
             from yolov4_tpu.parallel.mesh import coordinator_lockstep
-            self._run.lower(self.variables, arr, self.conf_thre,
+            v = self.variables if variables is None else variables
+            self._run.lower(v, arr, self.conf_thre,
                             self.nms_thre).compile()
             coordinator_lockstep(f"predictor_{self.img_size}"
                                  f"_{self.batch_size}")

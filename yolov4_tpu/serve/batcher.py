@@ -102,6 +102,11 @@ class DynamicBatcher:
             target=self._fetch_loop, name=f"{self.name}-fetch", daemon=True)
         self._started = False
         self._lock = threading.Lock()
+        # separate from _lock: start() holds _lock across a multi-minute
+        # warmup compile, and a submit blocked on THAT lock would ignore
+        # its own backpressure timeout; this one is held only for
+        # instantaneous stop-check+enqueue / drain sections
+        self._submit_lock = threading.Lock()
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -123,10 +128,10 @@ class DynamicBatcher:
             self._fetcher.join(timeout)
         # fail anything stranded so callers never hang on a dead server:
         # queued requests (incl. submits that raced the _stop check — the
-        # _lock makes those either visible here or rejected), and
+        # _submit_lock makes those either visible here or rejected), and
         # dispatched batches the fetcher exited before collecting (its
         # empty() check races the assembler's put)
-        with self._lock:
+        with self._submit_lock:
             for q in (self._queue, self._inflight):
                 while True:
                     try:
@@ -178,7 +183,7 @@ class DynamicBatcher:
         # saturated submitters don't convoy on each other.
         deadline = None if timeout is None else time.monotonic() + timeout
         while True:
-            with self._lock:
+            with self._submit_lock:
                 if self._stop.is_set():
                     raise RuntimeError("batcher shut down")
                 try:
@@ -188,7 +193,7 @@ class DynamicBatcher:
                     pass
             if deadline is not None and time.monotonic() >= deadline:
                 raise queue.Full
-            time.sleep(0.002)
+            time.sleep(0.01)
         self.metrics.count("requests_total")
         return req.future
 

@@ -212,8 +212,12 @@ def check_compatible(converted: Mapping[str, Any], variables: Mapping[str, Any],
     # strict means MISSING COLLECTIONS fail too: a params-only checkpoint
     # (convert_state_dict drops an empty batch_stats) would otherwise pass
     # and silently evaluate with fresh BN mean=0/var=1 — garbage AP with
-    # no error, exactly what strict=True exists to prevent
-    absent = [c for c in variables if c not in converted]
+    # no error, exactly what strict=True exists to prevent. Only the
+    # collections checkpoints CARRY are required: model variables may
+    # include runtime-only collections (e.g. int8_static's "quant" scales,
+    # which come from calibration, never from a checkpoint).
+    absent = [c for c in ("params", "batch_stats")
+              if c in variables and c not in converted]
     if absent:
         raise ValueError(
             f"strict load failed: checkpoint has no {absent} collection(s) "
