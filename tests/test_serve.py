@@ -155,6 +155,58 @@ def test_close_fails_pending_and_rejects_new():
         b.submit_canvas(_canvas(1), INFO)
 
 
+def test_submit_backpressure_timeout_and_close_wake():
+    """Saturated submit parks on a Condition (no sleep-poll): it times out
+    with queue.Full at its deadline, and close() wakes parked waiters
+    promptly with the shutdown error instead of stranding them."""
+    import queue as queue_mod
+    fake = FakePredictor(batch_size=4)
+    b = DynamicBatcher(fake, max_queue=1)  # NOT started: nothing drains
+    b.submit_canvas(_canvas(1), INFO)      # fills the queue
+    t0 = time.monotonic()
+    with pytest.raises(queue_mod.Full):
+        b.submit_canvas(_canvas(2), INFO, timeout=0.2)
+    assert time.monotonic() - t0 < 5.0
+
+    woke = []
+
+    def park():
+        try:
+            b.submit_canvas(_canvas(3), INFO, timeout=30.0)
+        except RuntimeError as e:
+            woke.append(str(e))
+
+    th = threading.Thread(target=park)
+    th.start()
+    time.sleep(0.15)  # let it park
+    b.close()
+    th.join(5.0)
+    assert not th.is_alive()
+    assert woke and "shut down" in woke[0]
+
+
+def test_submit_waiter_admitted_when_queue_drains():
+    """A parked submitter is admitted as soon as the assembler drains a
+    slot (condition notify path, not the defensive re-check cap)."""
+    fake = FakePredictor(batch_size=4)
+    b = DynamicBatcher(fake, max_queue=1)  # NOT started: manual drain
+    b.submit_canvas(_canvas(1), INFO)
+    admitted = threading.Event()
+
+    def park():
+        b.submit_canvas(_canvas(2), INFO, timeout=30.0)
+        admitted.set()
+
+    th = threading.Thread(target=park)
+    th.start()
+    time.sleep(0.15)
+    assert not admitted.is_set()
+    b._queue_get(timeout=1.0)  # assembler-side drain frees one slot
+    assert admitted.wait(5.0)
+    th.join(5.0)
+    b.close()
+
+
 def test_cancelled_future_does_not_kill_fetcher():
     """A client that times out and cancel()s its future must not wedge the
     bucket: these futures are never set_running_or_notify_cancel'd, so

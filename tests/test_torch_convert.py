@@ -96,6 +96,23 @@ def test_full_roundtrip(model_kind):
         np.testing.assert_array_equal(got[key], want[key], err_msg=str(key))
 
 
+def test_check_compatible_rejects_collections_both_directions():
+    """Strict load fails with a NAMED error for collections the checkpoint
+    is missing AND for collections the model doesn't have (the latter used
+    to escape as a bare KeyError)."""
+    from yolov4_tpu.utils.torch_convert import check_compatible
+
+    variables = {"params": {"w": np.zeros((2,))},
+                 "batch_stats": {"m": np.zeros((2,))}}
+    with pytest.raises(ValueError, match="batch_stats"):
+        check_compatible({"params": {"w": np.zeros((2,))}}, variables)
+    full = {"params": {"w": np.zeros((2,))},
+            "batch_stats": {"m": np.zeros((2,))}}
+    with pytest.raises(ValueError, match="unexpected"):
+        check_compatible(dict(full, bogus={"x": np.zeros((1,))}), variables)
+    check_compatible(full, variables)  # exact match passes
+
+
 @pytest.mark.skipif(
     not __import__("os").path.isdir("/root/reference"),
     reason="reference repo not mounted")

@@ -68,7 +68,8 @@ class DetectionResult:
 @dataclass
 class _Request:
     canvas: np.ndarray              # [S, S, 3] uint8 (stretch-resized RGB)
-    img_info: Tuple[float, float, float, float]  # src_h, src_w, dst_h, dst_w
+    # src_h, src_w, content_h, content_w [, off_x, off_y] (letterbox)
+    img_info: Tuple[float, ...]
     future: Future
     conf_thre: Optional[float]      # post-NMS score filter (see submit())
     t_enqueue: float = 0.0
@@ -107,6 +108,10 @@ class DynamicBatcher:
         # its own backpressure timeout; this one is held only for
         # instantaneous stop-check+enqueue / drain sections
         self._submit_lock = threading.Lock()
+        # saturated submitters park here (releasing _submit_lock) and are
+        # woken by the assembler after every queue drain — no sleep-poll
+        # quantization on admission latency, no convoying on the lock
+        self._space = threading.Condition(self._submit_lock)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -123,6 +128,8 @@ class DynamicBatcher:
 
     def close(self, timeout: float = 10.0) -> None:
         self._stop.set()
+        with self._space:
+            self._space.notify_all()  # wake parked submitters to see _stop
         if self._started:
             self._assembler.join(timeout)
             self._fetcher.join(timeout)
@@ -178,12 +185,13 @@ class DynamicBatcher:
         # stop-check + enqueue under the lock close the race with close()'s
         # drain (same lock, taken after _stop is set): a request either
         # lands before the drain and gets failed there, or sees _stop and
-        # is rejected — never silently stranded. The lock is held only for
-        # a non-blocking put; the backpressure timeout is a short poll so
-        # saturated submitters don't convoy on each other.
+        # is rejected — never silently stranded. When the queue is full,
+        # waiting happens on a Condition over the SAME lock (released for
+        # the wait), notified by the assembler after every drain — prompt
+        # admission with no poll quantization and no lock convoying.
         deadline = None if timeout is None else time.monotonic() + timeout
-        while True:
-            with self._submit_lock:
+        with self._space:
+            while True:
                 if self._stop.is_set():
                     raise RuntimeError("batcher shut down")
                 try:
@@ -191,18 +199,31 @@ class DynamicBatcher:
                     break
                 except queue.Full:
                     pass
-            if deadline is not None and time.monotonic() >= deadline:
-                raise queue.Full
-            time.sleep(0.01)
+                left = (None if deadline is None
+                        else deadline - time.monotonic())
+                if left is not None and left <= 0:
+                    raise queue.Full
+                # the 0.5 s cap is a defensive re-check (stop/missed
+                # notify), not a poll interval — normal wakes come from
+                # the assembler's notify
+                self._space.wait(0.5 if left is None else min(left, 0.5))
         self.metrics.count("requests_total")
         return req.future
 
     # -- internals ---------------------------------------------------------
 
+    def _queue_get(self, timeout: float) -> _Request:
+        """Dequeue one request and wake a parked submitter (the queue just
+        gained a slot). Raises queue.Empty like Queue.get."""
+        req = self._queue.get(timeout=timeout)
+        with self._space:
+            self._space.notify()
+        return req
+
     def _assemble_loop(self) -> None:
         while not self._stop.is_set():
             try:
-                first = self._queue.get(timeout=0.05)
+                first = self._queue_get(timeout=0.05)
             except queue.Empty:
                 continue
             batch = [first]
@@ -222,7 +243,7 @@ class DynamicBatcher:
                     # short poll while saturated: the held batch must
                     # dispatch promptly once a slot frees (bounds the
                     # post-deadline dispatch lag to ~5 ms)
-                    batch.append(self._queue.get(
+                    batch.append(self._queue_get(
                         timeout=0.005 if device_busy else max(remaining, 1e-3)))
                 except queue.Empty:
                     if not device_busy:
@@ -291,10 +312,12 @@ class DynamicBatcher:
         if req.conf_thre is not None:
             keep = scores >= req.conf_thre
             d, scores = d[keep], scores[keep]
-        src_h, src_w, dst_h, dst_w = req.img_info
+        src_h, src_w, dst_h, dst_w = req.img_info[:4]
+        off = (tuple(req.img_info[4:6]) if len(req.img_info) >= 6
+               else (0.0, 0.0))  # letterbox offsets (TEST.LETTERBOX)
         boxes = (np.asarray(unmap_to_source_xyxy(
-                     d[:, :4], (src_h, src_w), (dst_h, dst_w)),
-                     np.float32)
+                     d[:, :4], (src_h, src_w), (dst_h, dst_w),
+                     offset_xy=off), np.float32)
                  if d.shape[0] else np.zeros((0, 4), np.float32))
         e2e_ms = (t_done - req.t_enqueue) * 1e3
         queue_ms = (req.t_assembled - req.t_enqueue) * 1e3

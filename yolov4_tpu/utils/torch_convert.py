@@ -223,6 +223,15 @@ def check_compatible(converted: Mapping[str, Any], variables: Mapping[str, Any],
             f"strict load failed: checkpoint has no {absent} collection(s) "
             f"(model expects {sorted(variables)}); a params-only torch "
             f"checkpoint is missing the BN running statistics")
+    # the mirror-direction guard: a converted tree carrying a collection
+    # the model doesn't have must fail as a strict-load message, not a
+    # bare KeyError at variables[collection] below
+    surplus = [c for c in converted if c not in variables]
+    if surplus:
+        raise ValueError(
+            f"strict load failed: checkpoint carries unexpected "
+            f"collection(s) {sorted(surplus)} (model has "
+            f"{sorted(variables)})")
     for collection in converted:
         expected = variables[collection]
         for seg in subtree:
