@@ -52,6 +52,10 @@ def parse_args():
                         help="serving quantization mode (default cfg "
                              "MODEL.QUANT; int8* are faster but not "
                              "reference-exact)")
+    parser.add_argument("--letterbox", action="store_true",
+                        help="aspect-preserving letterbox preprocessing "
+                             "(cfg TEST.LETTERBOX; default: the "
+                             "reference's stretch-resize)")
     return parser.parse_args()
 
 
@@ -129,8 +133,9 @@ def process_video(predictor, transform, img_size: int, src_path: str,
         for i, frame in enumerate(frames):
             det = dets[i][valids[i]]
             src_h, src_w, dst_h, dst_w = infos[i][:4]
+            off = tuple(infos[i][4:6]) if len(infos[i]) >= 6 else (0, 0)
             boxes = np.asarray(unmap_to_source_xyxy(
-                det[:, :4], (src_h, src_w), (dst_h, dst_w)))
+                det[:, :4], (src_h, src_w), (dst_h, dst_w), offset_xy=off))
             writer.write(draw_detections(
                 frame, boxes, det[:, 4] * det[:, 5],
                 det[:, 6].astype(int)))
@@ -167,6 +172,8 @@ def main():
     cfg = load_config(args.cfg)
     if args.quant is not None:
         cfg["MODEL"]["QUANT"] = args.quant
+    if args.letterbox:
+        cfg["TEST"]["LETTERBOX"] = True
     conf_thre = cfg["TEST"]["CONFTHRE"] if args.conf_thre < 0 else args.conf_thre
     nms_thre = cfg["TEST"]["NMSTHRE"] if args.nms_thre < 0 else args.nms_thre
     img_size = cfg["TEST"]["IMGSIZE"]
@@ -234,9 +241,10 @@ def main():
         for i in range(len(raw_imgs)):
             idx = start + i
             src_h, src_w, dst_h, dst_w = infos[i][:4]
+            off = tuple(infos[i][4:6]) if len(infos[i]) >= 6 else (0, 0)
             det = dets[i][valids[i]]
             boxes = np.asarray(unmap_to_source_xyxy(
-                det[:, :4], (src_h, src_w), (dst_h, dst_w)))
+                det[:, :4], (src_h, src_w), (dst_h, dst_w), offset_xy=off))
             scores = det[:, 4] * det[:, 5]
             cls_idxs = det[:, 6].astype(int)
 

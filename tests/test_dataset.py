@@ -60,9 +60,11 @@ def test_dataset_val(fake_root):
     img, target = ds[1]
     assert img.shape == (96, 96, 3)
     info = target["img_info"]
-    assert len(info) == 6  # src_h, src_w, dst_h, dst_w, img_id, index
+    # src_h, src_w, content_h, content_w, off_x, off_y, img_id, index
+    assert len(info) == 8
     assert info[2] == 96 and info[3] == 96
-    assert info[4] == ds.ids[1] and info[5] == 1
+    assert info[4] == 0 and info[5] == 0  # stretch mode: no letterbox pad
+    assert info[6] == ds.ids[1] and info[7] == 1
 
 
 @pytest.mark.parametrize("num_workers", [0, 2])
@@ -78,6 +80,34 @@ def test_loader_batches(fake_root, num_workers):
     assert imgs.shape == (2, 64, 64, 3)
     assert target["batch_mask"].tolist() == [True, False]
     assert target["padded_labels"].shape == (2, 60, 5)
+
+
+@pytest.mark.parametrize("num_workers", [0, 2])
+def test_loader_multiscale_schedule(fake_root, num_workers):
+    """TRAIN.MULTISCALE plumbing: a size_schedule re-targets the transform
+    per batch, INCLUDING through worker processes (they hold frozen
+    dataset copies, so the size must ride with each prefetch task —
+    reference hook cocodataset.py:152-156, dead at build.py:105-107)."""
+    cfg = load_config()
+    ds = COCODataset(fake_root, "val2017", img_size=64, is_train=False,
+                     transform=Transform(cfg, is_train=False))
+    loader = DataLoader(ds, batch_size=2, shuffle=False,
+                        num_workers=num_workers)
+    sizes = [32, 64, 96]
+    loader.size_schedule = lambda epoch, i: sizes[i % len(sizes)]
+    batches = list(loader)
+    assert len(batches) == 3
+    for i, (imgs, target) in enumerate(batches):
+        s = sizes[i % len(sizes)]
+        assert imgs.shape == (2, s, s, 3), f"batch {i}"
+        # labels scale with the batch's size (dst dims in img_info)
+        assert target["img_info"][0, 2] == s
+    # schedule off -> fixed size again, and the parent dataset was not
+    # permanently re-targeted by the in-process path beyond the last call
+    loader.size_schedule = None
+    ds.set_img_size(64)
+    imgs, _ = next(iter(loader))
+    assert imgs.shape == (2, 64, 64, 3)
 
 
 def test_loader_determinism(fake_root):
@@ -105,7 +135,7 @@ def test_loader_sharding(fake_root):
         loader = DataLoader(ds, batch_size=2, shuffle=False, pad_last=False,
                             process_index=pi, process_count=2)
         for _, target in loader:
-            seen.extend(target["img_info"][:, 4][target["batch_mask"]].tolist())
+            seen.extend(target["img_info"][:, 6][target["batch_mask"]].tolist())
     # every image covered (with wrap padding allowed)
     assert set(int(s) for s in seen) == set(ds.ids)
 

@@ -166,3 +166,37 @@ def test_dedup_wrap_padding():
     rows2, ids2 = _dedup_wrap_padding([([row(1, 0.9)], [1]),
                                        ([row(2, 0.8)], [2])])
     assert ids2 == [1, 2] and len(rows2) == 2
+
+
+def test_detections_to_coco_letterbox_offsets():
+    """8-field letterbox img_info: the offsets are subtracted before the
+    content-dims rescale (a box at the content's top-left maps to the
+    source origin)."""
+    det = np.array([[20.0, 59.0, 120.0, 159.0, 0.9, 0.8, 2.0]])
+    valid = np.array([True])
+    # src 100x140, content 297x416? no: content dims follow src aspect —
+    # use src 100x140 -> scale 416/140, content (297, 416), off (0, 59)
+    info = np.array([100.0, 140.0, 297.0, 416.0, 0.0, 59.0, 42.0, 0.0])
+    rows = detections_to_coco(det, valid, info, class_ids=list(range(1, 81)))
+    assert rows[0]["image_id"] == 42
+    x, y, w, h = rows[0]["bbox"]
+    np.testing.assert_allclose(x, 20.0 / 416 * 140, rtol=1e-6)
+    np.testing.assert_allclose(y, 0.0, atol=1e-9)  # 59 - off_y = 0
+    np.testing.assert_allclose(w, 100.0 / 416 * 140, rtol=1e-6)
+    np.testing.assert_allclose(h, 100.0 / 297 * 100, rtol=1e-6)
+
+
+def test_validate_oracle_letterbox_ap1(fake_root):
+    """The full eval protocol stays consistent under TEST.LETTERBOX: an
+    oracle echoing the letterboxed gt labels must still score AP ~ 1.0
+    (transform geometry and unmap geometry are exact inverses)."""
+    cfg = load_config()
+    cfg["TEST"]["LETTERBOX"] = True
+    dataset = COCODataset(fake_root, "val2017", img_size=128, is_train=False,
+                          transform=Transform(cfg, is_train=False))
+    loader = DataLoader(dataset, batch_size=2, shuffle=False)
+    predictor = OraclePredictor()
+    ap, ap50 = validate(LoaderWithHook(loader, predictor), predictor,
+                        verbose=False)
+    assert ap50 == pytest.approx(1.0, abs=1e-6)
+    assert ap == pytest.approx(1.0, abs=0.02)

@@ -437,3 +437,155 @@ def test_trainer_writes_metrics_jsonl(tmp_path):
     assert {"ts", "epoch", "step", "loss", "lr", "img_s"} <= set(tr)
     ev = next(r for r in records if r["kind"] == "eval")
     assert {"ap", "ap50", "best_ap50"} <= set(ev)
+
+
+# ---- opt-in knobs: parameter EMA + multi-scale buckets (round 5) ------
+
+
+def _ema_setup(decay, accum=1):
+    cfg = load_config()
+    cfg["MODEL"]["COMPUTE_DTYPE"] = "float32"
+    model = TinyDetector()
+    variables = init_variables(model, jax.random.PRNGKey(0), 64)
+    tx = build_optimizer(cfg, variables["params"])
+    schedule = build_lr_schedule(cfg, len_epoch=10)
+    mesh = create_mesh()
+    step = make_train_step(model, build_criterion(cfg), tx, schedule, mesh,
+                           accumulation_steps=accum, ema_decay=decay)
+    state = create_train_state(variables, tx, ema=decay > 0)
+    return step, state
+
+
+def test_ema_tracks_weighted_average():
+    """ema_{k} = d*ema_{k-1} + (1-d)*params_k after every optimizer
+    update, seeded from the initial params."""
+    d = 0.5
+    step, state = _ema_setup(d)
+    imgs, labels = _batch(np.random.default_rng(0))
+    expect = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
+    for _ in range(3):
+        state = step(state, imgs, labels)
+        p = jax.tree.map(np.asarray, state.params)
+        expect = jax.tree.map(lambda e, q: d * e + (1 - d) * q, expect, p)
+    got = jax.tree.leaves(state.ema_params)
+    want = jax.tree.leaves(expect)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), w, rtol=1e-5, atol=1e-7)
+    # EMA lags behind live params (it includes the init weights)
+    diffs = [float(np.abs(np.asarray(e) - np.asarray(p)).max())
+             for e, p in zip(jax.tree.leaves(state.ema_params),
+                             jax.tree.leaves(state.params))]
+    assert max(diffs) > 0
+
+
+def test_ema_updates_only_on_optimizer_apply():
+    """With accumulation, the shadow average moves only when the optimizer
+    applies (micro-steps leave it untouched)."""
+    step, state = _ema_setup(0.9, accum=2)
+    imgs, labels = _batch(np.random.default_rng(0))
+    e0 = [np.asarray(x).copy() for x in jax.tree.leaves(state.ema_params)]
+    state = step(state, imgs, labels)  # micro-step: no apply
+    e1 = [np.asarray(x) for x in jax.tree.leaves(state.ema_params)]
+    for a, b in zip(e0, e1):
+        np.testing.assert_array_equal(a, b)
+    state = step(state, imgs, labels)  # apply
+    moved = any(np.abs(a - np.asarray(b)).max() > 0
+                for a, b in zip(e0, jax.tree.leaves(state.ema_params)))
+    assert moved
+
+
+def test_ema_off_keeps_none():
+    step, state = _ema_setup(0.0)
+    assert state.ema_params is None
+    imgs, labels = _batch(np.random.default_rng(0))
+    state = step(state, imgs, labels)
+    assert state.ema_params is None
+
+
+def test_ema_trainer_checkpoint_layout_and_resume(tmp_path):
+    """EMA checkpoints serve what they scored: variables.params = the EMA
+    tree (what evaluate() ran), raw_params = the training params; resume
+    restores both; a non-EMA resume takes the raw tree."""
+    import os
+
+    from tests.fixtures import make_fake_coco
+    from yolov4_tpu.engine.trainer import Trainer
+
+    root = str(tmp_path / "coco")
+    make_fake_coco(root, "train2017", n_images=8, seed=0)
+    make_fake_coco(root, "val2017", n_images=2, seed=1)
+
+    cfg = _trainer_cfg(tmp_path, "out_ema", max_epochs=1)
+    cfg["TRAIN"]["EMA_DECAY"] = 0.8
+    trainer = Trainer(cfg, root)
+    trainer.fit()
+    assert trainer.state.ema_params is not None
+
+    ckpt = os.path.join(cfg["TRAIN"]["OUTPUT_DIR"], "checkpoint.ckpt")
+    raw = ckpt_lib.load_checkpoint_raw(ckpt)
+    assert "raw_params" in raw
+    assert raw["meta"]["ema_decay"] == 0.8
+    # variables.params == the EMA tree; raw_params == the training tree
+    for a, b in zip(jax.tree.leaves(raw["variables"]["params"]),
+                    jax.tree.leaves(trainer.state.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(raw["raw_params"]),
+                    jax.tree.leaves(trainer.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # load_variables (what val/detect/serve call) returns the EMA weights
+    lv = ckpt_lib.load_variables(ckpt)
+    for a, b in zip(jax.tree.leaves(lv["params"]),
+                    jax.tree.leaves(trainer.state.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # resume with EMA on: both trees restored
+    cfg2 = _trainer_cfg(tmp_path, "out_ema2", max_epochs=2)
+    cfg2["TRAIN"]["EMA_DECAY"] = 0.8
+    t2 = Trainer(cfg2, root, resume=ckpt)
+    for a, b in zip(jax.tree.leaves(t2.state.params),
+                    jax.tree.leaves(trainer.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(t2.state.ema_params),
+                    jax.tree.leaves(trainer.state.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # resume with EMA OFF: training continues from the raw tree
+    cfg3 = _trainer_cfg(tmp_path, "out_ema3", max_epochs=2)
+    t3 = Trainer(cfg3, root, resume=ckpt)
+    assert t3.state.ema_params is None
+    for a, b in zip(jax.tree.leaves(t3.state.params),
+                    jax.tree.leaves(trainer.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multiscale_trainer_buckets(tmp_path):
+    """TRAIN.MULTISCALE: per-segment deterministic size draws, one
+    compiled step per distinct size, loader batches arrive at the step's
+    shape (the reference's dead RANDOM_RESIZE path, build.py:105-107)."""
+    import json
+    import os
+
+    from tests.fixtures import make_fake_coco
+    from yolov4_tpu.engine.trainer import Trainer
+
+    root = str(tmp_path / "coco")
+    make_fake_coco(root, "train2017", n_images=16, seed=0)
+    make_fake_coco(root, "val2017", n_images=2, seed=1)
+
+    cfg = _trainer_cfg(tmp_path, "out_ms", max_epochs=1)
+    cfg["TRAIN"].update(MULTISCALE=[32, 64], MULTISCALE_EVERY=1)
+    trainer = Trainer(cfg, root)
+    trainer.print_freq = 1
+    # the draw is deterministic and process-independent
+    sizes = [trainer._ms_size_for(0, i) for i in range(2)]
+    assert sizes == [trainer._ms_size_for(0, i) for i in range(2)]
+    assert set(sizes) <= {32, 64}
+    trainer.fit()
+    # one compiled bucket per distinct size used (+ the base size built
+    # at init)
+    assert set(trainer._train_steps) >= set(sizes)
+    records = [json.loads(l) for l in open(
+        os.path.join(cfg["TRAIN"]["OUTPUT_DIR"], "metrics.jsonl"))]
+    tr = [r for r in records if r["kind"] == "train"]
+    assert len(tr) == 2 and all(np.isfinite(r["loss"]) for r in tr)

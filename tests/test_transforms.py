@@ -33,7 +33,9 @@ def test_val_transform_shapes(rng):
     assert out.shape == (416, 416, 3) and out.dtype == np.float32
     assert 0 <= out.min() and out.max() <= 1
     assert target["padded_labels"].shape == (60, 5)
-    assert target["img_info"] == [100, 140, 416, 416]
+    # 6 geometry fields: src_h, src_w, content_h, content_w, off_x, off_y
+    # (stretch mode fills the canvas, offsets 0)
+    assert target["img_info"] == [100, 140, 416, 416, 0, 0]
     # box scaling: cx scaled by 416/140, cy by 416/100
     lab = target["padded_labels"]
     cx, cy = boxes[0, 0] + boxes[0, 2] / 2, boxes[0, 1] + boxes[0, 3] / 2
@@ -151,4 +153,59 @@ def test_transform_parity_vs_reference(seed, is_train):
     np.testing.assert_allclose(my_img, ref_img, atol=1e-5)
     np.testing.assert_allclose(my_target["padded_labels"],
                                ref_target["padded_labels"].numpy(), atol=1e-4)
-    assert list(my_target["img_info"]) == list(ref_target["img_info"])
+    # reference emits 4 geometry fields; ours appends (0, 0) letterbox
+    # offsets — the shared prefix must match exactly
+    ref_info = list(ref_target["img_info"])
+    assert list(my_target["img_info"])[:len(ref_info)] == ref_info
+    assert list(my_target["img_info"])[len(ref_info):] in ([], [0, 0])
+
+
+def test_letterbox_val_transform(rng):
+    """Opt-in TEST.LETTERBOX (the reference's DEAD resize_and_pad,
+    transform.py:19-70): aspect-preserving scale, centered gray pad,
+    6-field geometry img_info, and boxes that roundtrip exactly through
+    ops.boxes unmapping."""
+    from yolov4_tpu.ops.boxes import unmap_to_source_tlwh
+
+    cfg = load_config()
+    cfg["TEST"]["LETTERBOX"] = True
+    t = T.Transform(cfg, is_train=False)
+    img = _image(rng)              # 100 x 140 BGR
+    boxes = _boxes_tlwh(rng, 3)
+    out, target = t([img], [boxes], 416)
+    assert out.shape == (416, 416, 3) and out.dtype == np.float32
+
+    # scale = 416/140 (width-limited); content 297x416, top/bottom pad
+    content_h, content_w = int(100 * 416 / 140), 416
+    off_y = (416 - content_h) // 2
+    assert target["img_info"] == [100, 140, content_h, content_w, 0, off_y]
+    # padding is gray 127 (the dead helper's evident intent), content is
+    # the image
+    np.testing.assert_allclose(out[0, 0], 127 / 255.0, atol=1e-6)
+    np.testing.assert_allclose(out[-1, -1], 127 / 255.0, atol=1e-6)
+
+    # labels scale uniformly + shift by the offsets
+    lab = target["padded_labels"]
+    cx = boxes[0, 0] + boxes[0, 2] / 2
+    cy = boxes[0, 1] + boxes[0, 3] / 2
+    np.testing.assert_allclose(lab[0, 0], cx * content_w / 140, rtol=1e-5)
+    np.testing.assert_allclose(lab[0, 1], cy * content_h / 100 + off_y,
+                               rtol=1e-5)
+
+    # unmap roundtrip: canvas-space xyxy -> source tlwh == the input rows
+    n = 3
+    cxcywh = lab[:n]
+    xyxy = np.stack([cxcywh[:, 0] - cxcywh[:, 2] / 2,
+                     cxcywh[:, 1] - cxcywh[:, 3] / 2,
+                     cxcywh[:, 0] + cxcywh[:, 2] / 2,
+                     cxcywh[:, 1] + cxcywh[:, 3] / 2], axis=-1)
+    back = unmap_to_source_tlwh(xyxy, (100, 140), (content_h, content_w),
+                                offset_xy=(0, off_y))
+    np.testing.assert_allclose(back, boxes[:, :4], rtol=1e-4, atol=1e-3)
+
+
+def test_letterbox_off_by_default(rng):
+    cfg = load_config()
+    assert cfg["TEST"]["LETTERBOX"] is False
+    t = T.Transform(cfg, is_train=False)
+    assert t.letterbox is False

@@ -60,6 +60,10 @@ def parse_args():
                         help="serving quantization mode (default cfg "
                              "MODEL.QUANT; int8* are faster but not "
                              "reference-exact)")
+    parser.add_argument("--letterbox", action="store_true",
+                        help="aspect-preserving letterbox eval geometry "
+                             "(cfg TEST.LETTERBOX; default: the "
+                             "reference's stretch-resize)")
     return parser.parse_args()
 
 
@@ -80,6 +84,8 @@ def main():
         cfg["TEST"]["APPROX_TOPK"] = True
     if args.quant is not None:
         cfg["MODEL"]["QUANT"] = args.quant
+    if args.letterbox:
+        cfg["TEST"]["LETTERBOX"] = True
     batch_size = cfg["TEST"].get("BATCH_SIZE", 8) if args.batch_size < 0 else args.batch_size
     workers = cfg["DATA"]["WORKERS"] if args.workers < 0 else args.workers
 

@@ -97,6 +97,12 @@ DEFAULTS: Dict[str, Dict[str, Any]] = {
     "CRITERION": {
         "TYPE": "YOLOLoss",
         "IGNORE_THRESH": 0.7,
+        # box-regression term: "mse" = the reference's exact weighted-BCE
+        # (xy) + MSE(wh)/2 (yololoss.py:417-432, parity-pinned); opt-in
+        # "iou"/"giou"/"diou"/"ciou" regress 1 - IoUv on the decoded
+        # boxes with the same tgt_scale^2 small-box weight (the YOLOv4
+        # paper's CIoU loss — the reference code never implements it).
+        "BOX_LOSS": "mse",
     },
     "OPTIMIZER": {
         "TYPE": "ADAM",
@@ -138,6 +144,19 @@ DEFAULTS: Dict[str, Dict[str, Any]] = {
         # 0 = end-of-epoch saves only (the reference's cadence). Each save
         # fetches the state to host — pick a cadence that amortizes it.
         "CHECKPOINT_EVERY_STEPS": 0,
+        # opt-in parameter EMA (0 = off, the reference's behavior): the
+        # train step maintains ema = d*ema + (1-d)*params after every
+        # optimizer update; eval/best-checkpoint selection then score the
+        # EMA weights (checkpoints carry both trees).
+        "EMA_DECAY": 0.0,
+        # opt-in multi-scale bucket training (the reference's dead
+        # RANDOM_RESIZE path, engine/build.py:105-107): a list of input
+        # sizes, e.g. [320, 416, 512, 608] — each size is its own
+        # compiled static-shape bucket; the loader re-targets its
+        # transform every MULTISCALE_EVERY batches on a deterministic
+        # per-(epoch, segment) draw. [] = fixed TRAIN.IMGSIZE.
+        "MULTISCALE": [],
+        "MULTISCALE_EVERY": 10,
     },
     "TEST": {
         "IMGSIZE": 608,
@@ -155,6 +174,11 @@ DEFAULTS: Dict[str, Dict[str, Any]] = {
         # opt-in: approx_max_k candidate selection (recall ~0.95) instead of
         # exact sorts; trades reference-exact postprocess for ~2-3 ms/batch
         "APPROX_TOPK": False,
+        # opt-in letterbox eval geometry (aspect-preserving resize +
+        # centered gray padding — the reference's DEAD resize_and_pad,
+        # transform.py:19-70; its live eval stretch-resizes). Affects
+        # val/detect/serve preprocessing + box unmapping symmetrically.
+        "LETTERBOX": False,
         # eval image wire layout: True packs the space-to-depth stem's
         # input order on the host (skips ~1.3 ms/batch of device relayout;
         # detections identical); False = planar NCHW upload + transpose.
@@ -223,6 +247,19 @@ class Config(dict):
         if model.get("QUANT_SPAN", "late") not in ("late", "full"):
             raise ValueError("MODEL.QUANT_SPAN must be 'late' or 'full': "
                              f"{model['QUANT_SPAN']}")
+        box_loss = self["CRITERION"].get("BOX_LOSS", "mse")
+        if box_loss not in ("mse", "iou", "giou", "diou", "ciou"):
+            raise ValueError("CRITERION.BOX_LOSS must be one of "
+                             f"mse/iou/giou/diou/ciou: {box_loss}")
+        ema = float(self["TRAIN"].get("EMA_DECAY", 0.0))
+        if not 0.0 <= ema < 1.0:
+            raise ValueError(f"TRAIN.EMA_DECAY must be in [0, 1): {ema}")
+        ms = self["TRAIN"].get("MULTISCALE", []) or []
+        if any(int(s) % 32 for s in ms):
+            raise ValueError(
+                f"TRAIN.MULTISCALE sizes must be multiples of 32: {ms}")
+        if ms and int(self["TRAIN"].get("MULTISCALE_EVERY", 10)) < 1:
+            raise ValueError("TRAIN.MULTISCALE_EVERY must be >= 1")
 
 
 def load_config(path: Optional[str] = None) -> Config:

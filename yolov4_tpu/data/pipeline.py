@@ -33,16 +33,24 @@ def _sample_seed(batch_seed: Optional[int], j: int) -> Optional[int]:
 
 
 def _fetch_sample(args):
-    idx, seed = args
+    idx, seed, img_size = args
     ds = _WORKER_DATASET
     if seed is not None and hasattr(ds, "seed"):
         ds.seed(seed)
+    if img_size is not None and hasattr(ds, "set_img_size"):
+        # multi-scale: the size rides WITH the task — worker processes
+        # hold frozen dataset copies, so a parent-side set_img_size can
+        # never reach them (reference hook: cocodataset.py:152-156)
+        ds.set_img_size(int(img_size))
     img, target = ds[int(idx)]
     return np.asarray(img), target
 
 
-def _collate(dataset, indices, seed: Optional[int]):
+def _collate(dataset, indices, seed: Optional[int],
+             img_size: Optional[int] = None):
     imgs, targets = [], []
+    if img_size is not None:
+        dataset.set_img_size(int(img_size))
     for j, idx in enumerate(indices):
         s = _sample_seed(seed, j)
         if s is not None and hasattr(dataset, "seed"):
@@ -93,6 +101,10 @@ class DataLoader:
         # numbering stay aligned with an uninterrupted epoch), then later
         # epochs start at 0 again
         self.start_batch = 0
+        # optional multi-scale schedule: (epoch, batch_index) -> img_size.
+        # Evaluated per batch in _batches() and shipped WITH each sample
+        # task (prefetch-safe, worker-copy-safe); None = fixed dataset size
+        self.size_schedule = None
 
     def _get_pool(self):
         if self._pool is None:
@@ -141,7 +153,16 @@ class DataLoader:
         for i in range(start, nb):
             chunk = order[i * self.batch_size:(i + 1) * self.batch_size]
             seed = hash((self.seed, self.epoch, i, self.process_index)) & 0x7FFFFFFF
-            yield chunk, seed
+            if self.size_schedule is not None:
+                size = self.size_schedule(self.epoch, i)
+            else:
+                # no schedule: still ship the dataset's CURRENT size so
+                # worker copies track parent-side set_img_size calls (and
+                # a schedule that turned off doesn't leave workers stuck
+                # at whatever size their last task set)
+                size = (self.dataset.get_img_size()
+                        if hasattr(self.dataset, "get_img_size") else None)
+            yield chunk, seed, size
 
     def _finalize(self, imgs, target, n_real: int):
         if n_real < self.batch_size and self.pad_last:
@@ -156,8 +177,8 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, Dict[str, np.ndarray]]]:
         if self.num_workers <= 0:
-            for chunk, seed in self._batches():
-                imgs, target = _collate(self.dataset, chunk, seed)
+            for chunk, seed, size in self._batches():
+                imgs, target = _collate(self.dataset, chunk, seed, size)
                 yield self._finalize(imgs, target, len(chunk))
             return
 
@@ -170,8 +191,8 @@ class DataLoader:
 
         pool = self._get_pool()
         batches = list(self._batches())
-        flat = [(int(idx), _sample_seed(seed, j))
-                for chunk, seed in batches
+        flat = [(int(idx), _sample_seed(seed, j), size)
+                for chunk, seed, size in batches
                 for j, idx in enumerate(chunk)]
         cap = max(self.prefetch_batches * self.batch_size,
                   2 * self.num_workers)
@@ -185,7 +206,7 @@ class DataLoader:
                 ti += 1
 
         pump()
-        for chunk, seed in batches:
+        for chunk, seed, _size in batches:
             samples = []
             for _ in chunk:
                 samples.append(pending.popleft().get())

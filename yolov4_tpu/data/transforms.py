@@ -123,6 +123,35 @@ def stretch_resize(img: np.ndarray, bboxes: np.ndarray, dst_size: int):
     return out, bboxes
 
 
+def letterbox_resize(img: np.ndarray, bboxes: np.ndarray, dst_size: int,
+                     pad_value: int = 127):
+    """Aspect-preserving resize + centered padding (opt-in eval mode).
+
+    The reference ships this as DEAD code (transform.py:19-70
+    ``resize_and_pad`` — never called; its eval path stretch-resizes,
+    transform.py:429-448). Geometry follows that helper's non-random
+    branch: uniform scale, centered dx/dy; the pad value realizes its
+    evident intent (``np.zeros(...) * 127`` — gray, zeroed by the bug).
+
+    bboxes are xyxy pixel boxes. Returns (canvas, boxes, img_info) with
+    img_info = [src_h, src_w, content_h, content_w, off_x, off_y].
+    """
+    src_h, src_w = img.shape[:2]
+    scale = min(dst_size / src_h, dst_size / src_w)
+    content_w, content_h = int(src_w * scale), int(src_h * scale)
+    off_x = (dst_size - content_w) // 2
+    off_y = (dst_size - content_h) // 2
+    resized = cv2.resize(img, (content_w, content_h),
+                         interpolation=cv2.INTER_LINEAR)
+    canvas = np.full((dst_size, dst_size, 3), pad_value, img.dtype)
+    canvas[off_y:off_y + content_h, off_x:off_x + content_w] = resized
+    if len(bboxes) > 0:
+        bboxes = bboxes.copy()
+        bboxes[:, [0, 2]] = bboxes[:, [0, 2]] * (content_w / src_w) + off_x
+        bboxes[:, [1, 3]] = bboxes[:, [1, 3]] * (content_h / src_h) + off_y
+    return canvas, bboxes, [src_h, src_w, content_h, content_w, off_x, off_y]
+
+
 def _rand_uniform_strong(lo: float, hi: float, py_rng: random.Random) -> float:
     if lo > hi:
         lo, hi = hi, lo
@@ -247,6 +276,9 @@ class Transform:
         self.is_mosaic = aug["IS_MOSAIC"]
         self.min_offset = aug["MIN_OFFSET"]
         self.max_num_labels = cfg["DATA"]["MAX_NUM_LABELS"]
+        # opt-in letterbox EVAL geometry (TEST.LETTERBOX; default False =
+        # the reference's actual stretch-resize eval, transform.py:429-448)
+        self.letterbox = bool(cfg.get("TEST", {}).get("LETTERBOX", False))
         self.seed(seed)
 
     def seed(self, seed: Optional[int]) -> None:
@@ -296,10 +328,20 @@ class Transform:
         assert len(img_list) == 1 and len(bboxes_list) == 1
         src = img_list[0]
         img = src[:, :, ::-1]  # BGR -> RGB
-        img, bboxes = stretch_resize(img, np.asarray(bboxes_list[0], np.float64),
-                                     img_size)
-        img_info = [src.shape[0], src.shape[1], img.shape[0], img.shape[1]]
-        bboxes = tlwh_to_xyxy_np(bboxes)
+        # img_info is uniformly 6 geometry fields: src_h, src_w,
+        # content_h, content_w, off_x, off_y — stretch mode fills the
+        # whole canvas (offsets 0), letterbox records its padding so
+        # unmapping subtracts it (ops/boxes offset_xy)
+        if self.letterbox:
+            bboxes = tlwh_to_xyxy_np(
+                np.asarray(bboxes_list[0], np.float64))
+            img, bboxes, img_info = letterbox_resize(img, bboxes, img_size)
+        else:
+            img, bboxes = stretch_resize(
+                img, np.asarray(bboxes_list[0], np.float64), img_size)
+            img_info = [src.shape[0], src.shape[1],
+                        img.shape[0], img.shape[1], 0, 0]
+            bboxes = tlwh_to_xyxy_np(bboxes)
         return img, bboxes, img_info
 
     def __call__(self, img_list, bboxes_list, img_size: int):

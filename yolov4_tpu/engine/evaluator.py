@@ -30,12 +30,16 @@ def detections_to_coco(det: np.ndarray, valid: np.ndarray, img_info: np.ndarray,
     ops/boxes helper (reference engine/build.py:146-164,
     utils.py:281-309)."""
     src_h, src_w, dst_h, dst_w = (float(v) for v in img_info[:4])
+    # letterbox geometry: img_info carries 6 geometry fields + img_id +
+    # index (offsets 0 in stretch mode); older 4+2 layouts have none
+    off = ((float(img_info[4]), float(img_info[5]))
+           if len(img_info) >= 8 else (0.0, 0.0))
     img_id = int(img_info[-2])
     d = det[valid]
     if not d.shape[0]:
         return []
     bboxes = np.asarray(unmap_to_source_tlwh(
-        d[:, :4], (src_h, src_w), (dst_h, dst_w)), np.float64)
+        d[:, :4], (src_h, src_w), (dst_h, dst_w), offset_xy=off), np.float64)
     return [{
         "image_id": img_id,
         "category_id": class_ids[int(r[6])],

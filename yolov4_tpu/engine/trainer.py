@@ -122,19 +122,24 @@ class Trainer:
                 and cfg["MODEL"].get("S2D_STEM", True) in (True, "fused")
                 and cfg["TRAIN"]["IMGSIZE"] % 2 == 0):
             self.transfer_layout = "s2d"
+        # opt-in parameter EMA (TRAIN.EMA_DECAY > 0, off = reference
+        # behavior): the step keeps shadow weights; eval + best-checkpoint
+        # selection score them (checkpoints carry both trees)
+        self.ema_decay = float(cfg["TRAIN"].get("EMA_DECAY", 0.0))
+        # opt-in multi-scale bucket training (TRAIN.MULTISCALE, the
+        # reference's dead RANDOM_RESIZE path, engine/build.py:105-107):
+        # one compiled step per size, built lazily on first use
+        self.ms_sizes = [int(s) for s in (cfg["TRAIN"].get("MULTISCALE")
+                                          or [])]
+        self.ms_every = int(cfg["TRAIN"].get("MULTISCALE_EVERY", 10))
+        self._seed = seed
+        self._train_steps: Dict[int, object] = {}
         self.train_step = None
         self._train_lockstep_done = False
         if not evaluate_only:
-            self.train_step = make_train_step(
-                self.model, self.criterion, self.tx, self.lr_schedule,
-                self.mesh,
-                accumulation_steps=cfg["TRAIN"]["ACCUMULATION_STEPS"],
-                img_size=cfg["TRAIN"]["IMGSIZE"], device_aug=self.device_aug,
-                aug_seed=seed,
-                skip_nonfinite=bool(cfg["TRAIN"].get("SKIP_NONFINITE_UPDATES",
-                                                     False)),
-                input_layout=self.transfer_layout)
-        self.state = create_train_state(variables, self.tx)
+            self.train_step = self._make_step(cfg["TRAIN"]["IMGSIZE"])
+        self.state = create_train_state(variables, self.tx,
+                                        ema=self.ema_decay > 0)
 
         self.start_epoch = cfg["TRAIN"]["START_EPOCH"]
         self.best_ap50 = 0.0
@@ -157,15 +162,52 @@ class Trainer:
             mesh=self.mesh)
 
     # ------------------------------------------------------------------
+    def _make_step(self, img_size: int):
+        """Compiled train step for one input size (cached per size — each
+        size is its own static-shape XLA program/bucket)."""
+        if img_size not in self._train_steps:
+            cfg = self.cfg
+            self._train_steps[img_size] = make_train_step(
+                self.model, self.criterion, self.tx, self.lr_schedule,
+                self.mesh,
+                accumulation_steps=cfg["TRAIN"]["ACCUMULATION_STEPS"],
+                img_size=img_size, device_aug=self.device_aug,
+                aug_seed=self._seed,
+                skip_nonfinite=bool(cfg["TRAIN"].get("SKIP_NONFINITE_UPDATES",
+                                                     False)),
+                input_layout=self.transfer_layout,
+                ema_decay=self.ema_decay)
+        return self._train_steps[img_size]
+
+    def _ms_size_for(self, epoch: int, batch_index: int) -> int:
+        """Deterministic multi-scale draw: one size per MULTISCALE_EVERY
+        batch segment, seeded by (seed, epoch, segment) — resume-stable
+        and identical on every process (shards must agree on shapes)."""
+        seg = batch_index // self.ms_every
+        rng = np.random.default_rng((self._seed, 7919, epoch, seg))
+        return int(self.ms_sizes[rng.integers(len(self.ms_sizes))])
+
+    # ------------------------------------------------------------------
     def _resume(self, path: str) -> None:
         logger.info(f"resuming from {path}")
         raw = ckpt_lib.load_checkpoint_raw(path)
         variables = raw["variables"]
+        # EMA checkpoints store the servable EMA tree in variables.params
+        # and the raw training params in raw_params (save() layout)
+        train_params = raw.get("raw_params", variables["params"])
         self.state = self.state.replace(
-            params=ckpt_lib.restore_onto(self.state.params, variables["params"]),
+            params=ckpt_lib.restore_onto(self.state.params, train_params),
             batch_stats=ckpt_lib.restore_onto(self.state.batch_stats,
                                               variables["batch_stats"]),
         )
+        if self.state.ema_params is not None:
+            # resume the shadow average when the checkpoint has one; a
+            # non-EMA checkpoint seeds EMA from its params (fresh start)
+            ema_src = (variables["params"] if "raw_params" in raw
+                       else train_params)
+            self.state = self.state.replace(
+                ema_params=ckpt_lib.restore_onto(self.state.ema_params,
+                                                 ema_src))
         if "opt_state" in raw:  # full resume (reference's was dead code)
             self.state = self.state.replace(
                 opt_state=ckpt_lib.restore_onto(self.state.opt_state,
@@ -226,19 +268,30 @@ class Trainer:
         end = time.time()
         loss_val = float("nan")
 
+        if self.ms_sizes:
+            # multi-scale: the loader evaluates the SAME schedule per
+            # batch (sizes ride with the prefetch tasks), so the step
+            # picked here always matches the arriving batch's shape
+            self.train_loader.size_schedule = self._ms_size_for
+
         label_key = "member_boxes" if self.device_aug else "padded_labels"
+        cur_size = cfg["TRAIN"]["IMGSIZE"]
+        step_fn = self.train_step
         for i, (imgs, target) in enumerate(self.train_loader, start=skip):
+            if self.ms_sizes:
+                cur_size = self._ms_size_for(epoch, i)
+                step_fn = self._make_step(cur_size)
             imgs, labels = self._put_batch(imgs, target[label_key])
             if jax.process_count() > 1 and not self._train_lockstep_done:
                 # compile, then coordinator barrier, then first dispatch:
                 # gloo context creation at the first execution has a
                 # hardcoded ~30 s rendezvous that cross-process compile
                 # skew can blow (parallel.mesh.coordinator_lockstep)
-                self.train_step.lower(self.state, imgs, labels).compile()
+                step_fn.lower(self.state, imgs, labels).compile()
                 from yolov4_tpu.parallel.mesh import coordinator_lockstep
                 coordinator_lockstep("train_step")
                 self._train_lockstep_done = True
-            self.state = self.train_step(self.state, imgs, labels)
+            self.state = step_fn(self.state, imgs, labels)
             if self.profiler.count:
                 # host-side counter: reading state.step would force a sync
                 self._host_step = getattr(self, "_host_step", 0) + 1
@@ -259,7 +312,7 @@ class Trainer:
                     f"Speed {ips:.1f} img/s "
                     f"Lr {lr:.8f} "
                     f"Loss {loss_val:.4f} "
-                    f"ImgSize: {cfg['TRAIN']['IMGSIZE']}x{cfg['TRAIN']['IMGSIZE']}")
+                    f"ImgSize: {cur_size}x{cur_size}")
                 self.metrics_log.write({
                     "kind": "train", "epoch": epoch + 1,
                     "step": int(self.state.step), "loss": loss_val,
@@ -286,13 +339,24 @@ class Trainer:
             "opt_state": self.state.opt_state,
             "meta": meta,
         }
+        if self.state.ema_params is not None:
+            # same layout as save(): variables.params = EMA (servable),
+            # raw_params = training params (resume)
+            meta["ema_decay"] = self.ema_decay
+            bundle["variables"] = {"params": self.state.ema_params,
+                                   "batch_stats": self.state.batch_stats}
+            bundle["raw_params"] = self.state.params
         ckpt_lib.save_checkpoint(bundle, is_best=False,
                                  output_dir=self.output_dir, meta=meta)
         logger.info(f"mid-epoch checkpoint (epoch {epoch + 1} "
                     f"batch {batch_index}, step {meta['step']})")
 
     def evaluate(self):
-        self.predictor.variables = {"params": self.state.params,
+        # EMA enabled: score the shadow weights (what a deployment would
+        # serve); raw params remain what training continues from
+        params = (self.state.ema_params
+                  if self.state.ema_params is not None else self.state.params)
+        self.predictor.variables = {"params": params,
                                     "batch_stats": self.state.batch_stats}
         return validate(self.val_loader, self.predictor,
                         conf_threshold=self.cfg["TEST"]["CONFTHRE"],
@@ -316,6 +380,15 @@ class Trainer:
                      "best_ap50": self.best_ap50,
                      "best_ap50_95": self.best_ap50_95},
         }
+        if self.state.ema_params is not None:
+            # variables.params = the EMA weights: they are what evaluate()
+            # scored, so whatever val/detect/serve loads from this file
+            # reproduces the recorded AP. Raw training params ride in
+            # raw_params for resume (both trees persist).
+            bundle["variables"] = {"params": self.state.ema_params,
+                                   "batch_stats": self.state.batch_stats}
+            bundle["raw_params"] = self.state.params
+            bundle["meta"]["ema_decay"] = self.ema_decay
         ckpt_lib.save_checkpoint(bundle, is_best, output_dir=self.output_dir,
                                  meta=bundle["meta"])
         logger.info(f"checkpoint saved (epoch {epoch}, best={is_best})")

@@ -103,7 +103,75 @@ def iou_pairwise_safe(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray, fmt: str = "xy
     return _iou_pairwise_impl(boxes_a, boxes_b, fmt, eps)
 
 
-def unmap_to_source_tlwh(boxes_xyxy, src_hw, dst_hw) -> np.ndarray:
+def iou_variant_elementwise(pred: jnp.ndarray, gt: jnp.ndarray,
+                            kind: str = "iou",
+                            eps: float = 1e-9) -> jnp.ndarray:
+    """Elementwise IoU / GIoU / DIoU / CIoU between matched box pairs.
+
+    pred, gt: [..., 4] cxcywh, SAME shape (one pred per gt — the
+    regression-loss pairing, not the pairwise matrix). Returns [...].
+
+    This backs the opt-in CRITERION.BOX_LOSS variants (the YOLOv4 paper's
+    CIoU regression loss — the reference CODE trains BCE+MSE only,
+    yolo/model/yololoss.py:417-432, so none of this is parity-pinned).
+    Every denominator is eps-guarded: padded/masked cells carry zero
+    boxes, and the loss multiplies by the target mask AFTER this runs —
+    a NaN here would poison the masked gradient (NaN * 0 = NaN).
+
+    Formulas (Zheng et al., AAAI 2020 "Distance-IoU Loss"):
+      giou = iou - (C - U) / C            C = enclosing-box area
+      diou = iou - rho^2 / c^2            rho = center distance,
+                                          c = enclosing-box diagonal
+      ciou = diou - alpha * v             v = (4/pi^2) * dAtan(w/h)^2,
+                                          alpha = v / ((1 - iou) + v),
+                                          alpha treated as a constant in
+                                          the gradient (the paper's rule)
+    """
+    if kind not in ("iou", "giou", "diou", "ciou"):
+        raise ValueError(f"unknown IoU variant: {kind!r}")
+    import jax
+
+    p_tl = pred[..., :2] - pred[..., 2:4] / 2
+    p_br = pred[..., :2] + pred[..., 2:4] / 2
+    g_tl = gt[..., :2] - gt[..., 2:4] / 2
+    g_br = gt[..., :2] + gt[..., 2:4] / 2
+
+    tl = jnp.maximum(p_tl, g_tl)
+    br = jnp.minimum(p_br, g_br)
+    wh = jnp.maximum(br - tl, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_p = pred[..., 2] * pred[..., 3]
+    area_g = gt[..., 2] * gt[..., 3]
+    union = area_p + area_g - inter
+    iou = inter / jnp.maximum(union, eps)
+    if kind == "iou":
+        return iou
+
+    c_tl = jnp.minimum(p_tl, g_tl)
+    c_br = jnp.maximum(p_br, g_br)
+    c_wh = jnp.maximum(c_br - c_tl, 0.0)
+    if kind == "giou":
+        c_area = c_wh[..., 0] * c_wh[..., 1]
+        return iou - (c_area - union) / jnp.maximum(c_area, eps)
+
+    rho2 = (jnp.square(pred[..., 0] - gt[..., 0])
+            + jnp.square(pred[..., 1] - gt[..., 1]))
+    c2 = jnp.square(c_wh[..., 0]) + jnp.square(c_wh[..., 1])
+    diou = iou - rho2 / jnp.maximum(c2, eps)
+    if kind == "diou":
+        return diou
+
+    # aspect-ratio term; atan args guarded so zero-height padded boxes
+    # stay finite (atan(0/eps)=0)
+    v = (4.0 / jnp.pi ** 2) * jnp.square(
+        jnp.arctan(gt[..., 2] / jnp.maximum(gt[..., 3], eps))
+        - jnp.arctan(pred[..., 2] / jnp.maximum(pred[..., 3], eps)))
+    alpha = jax.lax.stop_gradient(v / jnp.maximum((1.0 - iou) + v, eps))
+    return diou - alpha * v
+
+
+def unmap_to_source_tlwh(boxes_xyxy, src_hw, dst_hw,
+                         offset_xy=(0.0, 0.0)) -> np.ndarray:
     """xyxy boxes in the (stretch-)resized image -> COCO tlwh in the source
     image (reference utils.py:281-309 ``yolobox2xywh``).
 
@@ -115,27 +183,34 @@ def unmap_to_source_tlwh(boxes_xyxy, src_hw, dst_hw) -> np.ndarray:
     Args:
       boxes_xyxy: [..., 4]
       src_hw: (src_h, src_w) broadcastable scalars or [..., 1] arrays
-      dst_hw: (dst_h, dst_w)
+      dst_hw: (dst_h, dst_w) — the CONTENT dims (scaled image without
+        padding; = the full canvas for stretch-resize)
+      offset_xy: (off_x, off_y) letterbox padding offsets, subtracted
+        before scaling (0, 0 for stretch-resize)
     """
     boxes_xyxy = np.asarray(boxes_xyxy)
     src_h, src_w = src_hw
     dst_h, dst_w = dst_hw
-    x1 = boxes_xyxy[..., 0] / dst_w * src_w
-    y1 = boxes_xyxy[..., 1] / dst_h * src_h
+    off_x, off_y = offset_xy
+    x1 = (boxes_xyxy[..., 0] - off_x) / dst_w * src_w
+    y1 = (boxes_xyxy[..., 1] - off_y) / dst_h * src_h
     w = (boxes_xyxy[..., 2] - boxes_xyxy[..., 0]) / dst_w * src_w
     h = (boxes_xyxy[..., 3] - boxes_xyxy[..., 1]) / dst_h * src_h
     return np.stack([x1, y1, w, h], axis=-1)
 
 
-def unmap_to_source_xyxy(boxes_xyxy, src_hw, dst_hw) -> np.ndarray:
+def unmap_to_source_xyxy(boxes_xyxy, src_hw, dst_hw,
+                         offset_xy=(0.0, 0.0)) -> np.ndarray:
     """xyxy boxes in the resized image -> xyxy in the source image
     (reference utils.py:312-340 ``yolobox2yxyx``, reordered to xyxy).
-    Pure numpy — see :func:`unmap_to_source_tlwh`."""
+    Pure numpy — see :func:`unmap_to_source_tlwh` (incl. the offset_xy
+    letterbox contract)."""
     boxes_xyxy = np.asarray(boxes_xyxy)
     src_h, src_w = src_hw
     dst_h, dst_w = dst_hw
-    x1 = boxes_xyxy[..., 0] * src_w / dst_w
-    y1 = boxes_xyxy[..., 1] * src_h / dst_h
-    x2 = boxes_xyxy[..., 2] * src_w / dst_w
-    y2 = boxes_xyxy[..., 3] * src_h / dst_h
+    off_x, off_y = offset_xy
+    x1 = (boxes_xyxy[..., 0] - off_x) * src_w / dst_w
+    y1 = (boxes_xyxy[..., 1] - off_y) * src_h / dst_h
+    x2 = (boxes_xyxy[..., 2] - off_x) * src_w / dst_w
+    y2 = (boxes_xyxy[..., 3] - off_y) * src_h / dst_h
     return np.stack([x1, y1, x2, y2], axis=-1)

@@ -109,13 +109,30 @@ def _iou_cxcywh(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
 class YOLOLoss:
     """Callable loss. ``loss = YOLOLoss(cfg['MODEL'], ignore_thresh)(outputs,
     targets)`` mirrors the reference criterion's interface
-    (model/build.py:31, yololoss.py:373)."""
+    (model/build.py:31, yololoss.py:373).
 
-    def __init__(self, model_cfg: Dict, ignore_thresh: float = 0.7):
+    ``box_loss`` selects the box-regression term (CRITERION.BOX_LOSS):
+      * "mse" (default): the reference's exact weighted-BCE(xy) +
+        MSE(wh)/2 terms (yololoss.py:417-432) — parity-pinned.
+      * "iou" | "giou" | "diou" | "ciou": opt-in IoU-variant regression
+        on the DECODED boxes (the YOLOv4 paper's CIoU loss, which the
+        reference code never implements):
+            loss_box = sum(tgt_mask * tgt_scale^2 * (1 - IoUv(pred, gt)))
+        with tgt_scale^2 = 2 - w*h/S^2, the same small-box weighting the
+        reference applies to its xy/wh terms. obj/cls terms unchanged.
+    """
+
+    def __init__(self, model_cfg: Dict, ignore_thresh: float = 0.7,
+                 box_loss: str = "mse"):
         self.anchors = np.asarray(model_cfg["ANCHORS"], dtype=np.float32)  # [9, 2]
         self.anchor_mask = [list(m) for m in model_cfg["ANCHOR_MASK"]]
         self.n_classes = int(model_cfg["N_CLASSES"])
         self.ignore_thresh = float(ignore_thresh)
+        if box_loss not in ("mse", "iou", "giou", "diou", "ciou"):
+            raise ValueError(
+                f"CRITERION.BOX_LOSS must be one of mse/iou/giou/diou/ciou: "
+                f"{box_loss!r}")
+        self.box_loss = box_loss
 
     def __call__(self, outputs: List[Dict], targets: Dict) -> jnp.ndarray:
         labels = targets["padded_labels"].astype(jnp.float32)  # [B, K, 5]
@@ -195,25 +212,40 @@ class YOLOLoss:
         t_cls = t_cls.at[batch_idx, a_idx, j_idx, i_idx, cls_idx].max(1.0, mode="drop")
 
         # --- masked loss terms (yololoss.py:399-432) ---
-        out_xy = output[..., 0:2] * tgt_mask[..., None]
-        out_wh = output[..., 2:4] * tgt_mask[..., None] * tgt_scale[..., None]
         out_obj = output[..., 4] * obj_mask
         out_cls = output[..., 5:] * tgt_mask[..., None]
-
-        t_xy = jnp.stack([t_x, t_y], axis=-1) * tgt_mask[..., None]
-        t_wh = jnp.stack([t_w, t_h], axis=-1) * tgt_mask[..., None] * tgt_scale[..., None]
         t_obj = t_obj * obj_mask
         t_cls = t_cls * tgt_mask[..., None]
+        loss_obj = _bce_sum(out_obj, t_obj)
+        loss_cls = _bce_sum(out_cls, t_cls)
 
+        if self.box_loss != "mse":
+            # opt-in IoU-variant regression on the DECODED boxes: scatter
+            # the full gt box (grid-unit cxcywh) per assigned cell and
+            # regress 1 - IoUv(pred, gt) with the same tgt_scale^2
+            # small-box weight the reference gives its xy/wh terms
+            from yolov4_tpu.ops.boxes import iou_variant_elementwise
+            t_box = jnp.stack(
+                [scat(zeros_cell, truth[..., c]) for c in range(4)], axis=-1)
+            iou_v = iou_variant_elementwise(pred, t_box, kind=self.box_loss)
+            loss_box = jnp.sum(
+                tgt_mask * tgt_scale * tgt_scale * (1.0 - iou_v))
+            return loss_box + loss_obj + loss_cls
+
+        out_xy = output[..., 0:2] * tgt_mask[..., None]
+        out_wh = output[..., 2:4] * tgt_mask[..., None] * tgt_scale[..., None]
+        t_xy = jnp.stack([t_x, t_y], axis=-1) * tgt_mask[..., None]
+        t_wh = jnp.stack([t_w, t_h], axis=-1) * tgt_mask[..., None] * tgt_scale[..., None]
         weight_xy = (tgt_scale * tgt_scale)[..., None]
         loss_xy = _bce_sum(out_xy, t_xy, weight=weight_xy)
         loss_wh = jnp.sum(jnp.square(out_wh - t_wh)) / 2.0
-        loss_obj = _bce_sum(out_obj, t_obj)
-        loss_cls = _bce_sum(out_cls, t_cls)
         return loss_xy + loss_wh + loss_obj + loss_cls
 
 
 def build_criterion(cfg: Dict) -> YOLOLoss:
-    """reference model/build.py:31 equivalent."""
+    """reference model/build.py:31 equivalent. CRITERION.BOX_LOSS selects
+    the opt-in IoU-variant regression (default "mse" = reference parity)."""
     assert cfg["CRITERION"]["TYPE"] == "YOLOLoss"
-    return YOLOLoss(cfg["MODEL"], ignore_thresh=cfg["CRITERION"]["IGNORE_THRESH"])
+    return YOLOLoss(cfg["MODEL"],
+                    ignore_thresh=cfg["CRITERION"]["IGNORE_THRESH"],
+                    box_loss=cfg["CRITERION"].get("BOX_LOSS", "mse"))

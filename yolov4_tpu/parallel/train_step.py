@@ -39,10 +39,15 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     accum_grads: Any                  # gradient accumulation buffer
     loss: jnp.ndarray                 # last step's (replica-mean) loss
+    # opt-in parameter EMA (TRAIN.EMA_DECAY > 0): shadow weights updated
+    # after every optimizer update, used for eval/best-checkpointing.
+    # None when disabled (an empty pytree subtree — costs nothing).
+    ema_params: Any = None
 
 
 def create_train_state(variables: Dict[str, Any],
-                       tx: optax.GradientTransformation) -> TrainState:
+                       tx: optax.GradientTransformation,
+                       ema: bool = False) -> TrainState:
     params = variables["params"]
     zeros = jax.tree.map(jnp.zeros_like, params)
     return TrainState(
@@ -52,6 +57,7 @@ def create_train_state(variables: Dict[str, Any],
         opt_state=tx.init(params),
         accum_grads=zeros,
         loss=jnp.zeros((), jnp.float32),
+        ema_params=jax.tree.map(jnp.copy, params) if ema else None,
     )
 
 
@@ -62,7 +68,8 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
                     device_aug: Optional[Dict] = None,
                     aug_seed: int = 0,
                     skip_nonfinite: bool = False,
-                    input_layout: str = "nhwc") -> Callable:
+                    input_layout: str = "nhwc",
+                    ema_decay: float = 0.0) -> Callable:
     """Returns jitted step(state, images, labels) -> state.
 
     images: [B_global, S, S, 3] float32 — or, when ``img_size`` is given,
@@ -154,19 +161,24 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
         lr = lr_schedule(state.step)
 
         def do_update(operand):
-            accum, opt_state, params = operand
+            accum, opt_state, params, ema = operand
             updates, new_opt_state = tx.update(accum, opt_state, params)
             updates = jax.tree.map(lambda u: -lr * u, updates)
             new_params = optax.apply_updates(params, updates)
+            if ema_decay > 0.0:  # static: traced away when off
+                d = jnp.float32(ema_decay)
+                ema = jax.tree.map(
+                    lambda e, p: (d * e + (1.0 - d) * p).astype(e.dtype),
+                    ema, new_params)
             zeros = jax.tree.map(jnp.zeros_like, accum)
-            return zeros, new_opt_state, new_params
+            return zeros, new_opt_state, new_params, ema
 
         def no_update(operand):
             return operand
 
-        accum, opt_state, params = jax.lax.cond(
+        accum, opt_state, params, ema_params = jax.lax.cond(
             apply_now, do_update, no_update,
-            (accum, state.opt_state, state.params))
+            (accum, state.opt_state, state.params, state.ema_params))
 
         return state.replace(
             step=state.step + 1,
@@ -175,6 +187,7 @@ def make_train_step(model, criterion, tx: optax.GradientTransformation,
             opt_state=opt_state,
             accum_grads=accum,
             loss=loss * accumulation_steps,  # report the undivided loss
+            ema_params=ema_params,
         )
 
     return wrap_step(shard_body, mesh)

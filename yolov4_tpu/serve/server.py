@@ -136,10 +136,12 @@ class ServingRuntime:
             b.close()
 
     def preprocess(self, img_bgr: np.ndarray, size: int):
-        """Reference val preprocessing (BGR->RGB + stretch-resize; the
-        deterministic transform is thread-safe)."""
+        """Reference val preprocessing (BGR->RGB + stretch-resize, or
+        letterbox when cfg TEST.LETTERBOX; the deterministic transform is
+        thread-safe). Returns the 6-field geometry img_info (offsets 0
+        for stretch) so the batcher unmaps letterboxed boxes correctly."""
         canvas, target = self._transform([img_bgr], [np.zeros((0, 5))], size)
-        return canvas, target["img_info"][:4]
+        return canvas, target["img_info"][:6]
 
     def detect(self, img_bgr: np.ndarray, size: Optional[int] = None,
                conf_thre: Optional[float] = None,
