@@ -48,6 +48,12 @@ DEFAULTS: Dict[str, Dict[str, Any]] = {
         # TPU-specific knobs (absent from the reference config; defaulted so
         # reference config files load unchanged).
         "SPP_LEGACY_POOLS": True,  # reproduce reference SPP 5/9/5 pooling quirk
+        # torch-exact SPP max-pool tie GRADIENTS (first-maximal routing,
+        # matching torch select_and_scatter) instead of the default
+        # equal-split subgradient. Forward identical either way; opt in
+        # when fine-tuning converted weights must match reference
+        # training bit-for-bit on tied windows (docs/PARITY.md).
+        "EXACT_POOL_GRAD": False,
         "COMPUTE_DTYPE": "bfloat16",
         # fused Pallas CSP stage bodies at eval (stage1-3): False | True |
         # "auto" (on TPU only). Equivalent math, checkpoint-compatible.

@@ -93,6 +93,64 @@ def _maxpool_same_bwd(size, res, g):
 maxpool_same.defvjp(_maxpool_same_fwd, _maxpool_same_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def maxpool_same_exact(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """maxpool_same with torch-exact tie gradients (MODEL.EXACT_POOL_GRAD).
+
+    torch's max_pool2d backward (select_and_scatter / max_pool2d_with_
+    indices) routes each window's WHOLE gradient to the FIRST maximal
+    position in row-major window order (strict ``>`` comparison in the
+    forward index scan). ``maxpool_same``'s default backward splits the
+    gradient equally among tied maxima instead — a valid subgradient but
+    not reference-matching (docs/PARITY.md). This variant reproduces the
+    first-maximal routing exactly for anyone fine-tuning converted
+    weights who needs torch-identical training gradients. Forward is
+    bit-identical to both torch and maxpool_same.
+
+    Cost: one extra argmin pass over the size^2 shifted equality masks
+    (the positional tiebreak the default deliberately avoids); see
+    docs/PARITY.md for the measured step delta."""
+    return _maxpool_impl(x, size)
+
+
+def _maxpool_exact_bwd(size, res, g):
+    x, y = res
+    pad = size // 2
+    h, w = x.shape[1], x.shape[2]
+    n2 = size * size
+    # pass 1: per window, the row-major linear index (dy*size+dx) of the
+    # FIRST input position equal to the window max. x padded with -inf
+    # never equals a max, and every window contains its own max, so
+    # first < n2 for all windows.
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                 constant_values=-jnp.inf)
+    first = None
+    for dy in range(size):
+        for dx in range(size):
+            k = dy * size + dx
+            idx = jnp.where(xp[:, dy:dy + h, dx:dx + w] == y, k, n2)
+            first = idx if first is None else jnp.minimum(first, idx)
+    first = first.astype(jnp.int32)
+    # pass 2: scatter. Input q is covered by window p = q + pad - (dy,dx)
+    # (sliced as fp[dy:dy+h, dx:dx+w]); q's offset inside that window is
+    # (size-1-dy, size-1-dx). q receives g[p] iff it is p's first max.
+    fp = jnp.pad(first, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                 constant_values=-1)
+    gp = jnp.pad(g, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    acc = None
+    for dy in range(size):
+        for dx in range(size):
+            k = (size - 1 - dy) * size + (size - 1 - dx)
+            fs = fp[:, dy:dy + h, dx:dx + w]
+            gs = gp[:, dy:dy + h, dx:dx + w]
+            c = jnp.where(fs == k, gs, jnp.zeros_like(gs))
+            acc = c if acc is None else acc + c
+    return (acc,)
+
+
+maxpool_same_exact.defvjp(_maxpool_same_fwd, _maxpool_exact_bwd)
+
+
 class SPPBlock(nn.Module):
     """Spatial pyramid pooling (reference yolov4.py:50-74)."""
 
@@ -101,6 +159,7 @@ class SPPBlock(nn.Module):
     width: float = 1.0
     quant: Any = "none"  # int8 serving convs (layers._quant_conv)
     quant_chain: bool = True  # int8_static link chaining (_link_quant)
+    exact_pool_grad: bool = False  # torch-exact tie gradients (see above)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -113,10 +172,11 @@ class SPPBlock(nn.Module):
         x = ConvBNAct(w(512), 1, 1, act="leaky_relu", dtype=d, quant=self.quant, name="conv1_2")(
             _link_quant(self, "link_1", x, ch), train)
 
-        m1 = maxpool_same(x, 5)
-        m2 = maxpool_same(x, 9)
+        pool = maxpool_same_exact if self.exact_pool_grad else maxpool_same
+        m1 = pool(x, 5)
+        m2 = pool(x, 9)
         # reference quirk: third branch reuses pool size 5 (yolov4.py:70)
-        m3 = maxpool_same(x, 5) if self.legacy_pools else maxpool_same(x, 13)
+        m3 = pool(x, 5) if self.legacy_pools else pool(x, 13)
 
         x = _link_quant_concat(self, "link_cat", [m3, m2, m1, x], ch)
         return ConvBNAct(w(512), 1, 1, act="leaky_relu", dtype=d, quant=self.quant, name="conv2")(x, train)
@@ -205,12 +265,15 @@ class Neck(nn.Module):
     width: float = 1.0  # channel multiplier (1.0 = reference; see darknet.py)
     quant: Any = "none"  # int8 serving convs (layers._quant_conv)
     quant_chain: bool = True  # int8_static link chaining (_link_quant)
+    exact_pool_grad: bool = False  # torch-exact tie gradients (SPPBlock)
 
     @nn.compact
     def __call__(self, x3, x4, x5, train: bool = False):
         spp = SPPBlock(legacy_pools=self.legacy_pools, dtype=self.dtype,
                        width=self.width, quant=self.quant,
-                       quant_chain=self.quant_chain, name="spp")(x5, train)
+                       quant_chain=self.quant_chain,
+                       exact_pool_grad=self.exact_pool_grad,
+                       name="spp")(x5, train)
         f1, f2, f3 = FPNBlock(dtype=self.dtype, width=self.width,
                               quant=self.quant, quant_chain=self.quant_chain,
                               name="fpn")(x3, x4, spp, train)

@@ -38,6 +38,13 @@ class YOLOv4(nn.Module):
     )
     anchor_mask: Sequence[Sequence[int]] = ((0, 1, 2), (3, 4, 5), (6, 7, 8))
     legacy_spp_pools: bool = True
+    # torch-exact max-pool tie gradients (MODEL.EXACT_POOL_GRAD): route
+    # each SPP window's whole gradient to the FIRST maximal position
+    # (torch select_and_scatter semantics) instead of the default
+    # equal-split subgradient. Forward identical; opt-in for
+    # reference-matching fine-tuning (see models/neck.maxpool_same_exact,
+    # docs/PARITY.md).
+    exact_pool_grad: bool = False
     dtype: Any = jnp.float32
     s2d: Any = True  # space-to-depth stem lowering (see darknet.Backbone)
     pallas_csp: Any = False  # fused eval CSP stages (see darknet.Backbone)
@@ -101,6 +108,7 @@ class YOLOv4(nn.Module):
         p1, p2, p3 = Neck(legacy_pools=self.legacy_spp_pools, dtype=self.dtype,
                           width=self.width, quant=quant,
                           quant_chain=self.quant_chain,
+                          exact_pool_grad=self.exact_pool_grad,
                           name="neck")(x3, x4, x5, train)
         split = self.split_head
         if split == "auto":
@@ -123,6 +131,7 @@ def build_model(cfg: Dict) -> YOLOv4:
         anchors=tuple(tuple(a) for a in model_cfg["ANCHORS"]),
         anchor_mask=tuple(tuple(m) for m in model_cfg["ANCHOR_MASK"]),
         legacy_spp_pools=model_cfg.get("SPP_LEGACY_POOLS", True),
+        exact_pool_grad=bool(model_cfg.get("EXACT_POOL_GRAD", False)),
         dtype=dtype,
         s2d=model_cfg.get("S2D_STEM", True),
         pallas_csp=model_cfg.get("PALLAS_CSP", False),
