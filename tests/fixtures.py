@@ -82,23 +82,47 @@ def _draw_shape(img, kind, cx, cy, half, color):
     if kind == 1:  # circle
         cv2.circle(img, (cx, cy), half, color, -1)
         return [cx - half, cy - half, 2 * half, 2 * half]
-    # triangle (apex up)
-    pts = np.array([[cx, cy - half], [cx - half, cy + half],
-                    [cx + half, cy + half]], np.int32)
-    cv2.fillPoly(img, [pts], color)
+    if kind == 2:  # triangle (apex up)
+        pts = np.array([[cx, cy - half], [cx - half, cy + half],
+                        [cx + half, cy + half]], np.int32)
+        cv2.fillPoly(img, [pts], color)
+        return [cx - half, cy - half, 2 * half, 2 * half]
+    if kind == 3:  # wide ellipse
+        by = max(3, int(half * 0.55))
+        cv2.ellipse(img, (cx, cy), (half, by), 0, 0, 360, color, -1)
+        return [cx - half, cy - by, 2 * half, 2 * by]
+    if kind == 4:  # plus / cross
+        t = max(2, int(half * 0.4))
+        cv2.rectangle(img, (cx - half, cy - t), (cx + half, cy + t), color, -1)
+        cv2.rectangle(img, (cx - t, cy - half), (cx + t, cy + half), color, -1)
+        return [cx - half, cy - half, 2 * half, 2 * half]
+    # kind 5: ring (hollow circle — only a thin annulus carries the color)
+    cv2.circle(img, (cx, cy), half - 1, color,
+               thickness=max(2, half // 3))
     return [cx - half, cy - half, 2 * half, 2 * half]
 
 
 def make_shapes_coco(root: str, name: str = "train2017", n_images: int = 64,
                      seed: int = 0, img_hw=(320, 320), max_shapes: int = 4,
-                     id_base: int = 1000):
+                     id_base: int = 1000, hard: bool = False):
     """Detectable-object synthetic COCO: each image holds 1..max_shapes
     non-degenerate colored shapes on a noisy background; the annotation of
     every shape is its true tight bbox and its class is the shape kind
     (0=rectangle, 1=circle, 2=triangle, mapped to the first three COCO
     category ids). Disjoint seeds give disjoint image sets, so a held-out
-    split measures generalization, not memorization."""
+    split measures generalization, not memorization.
+
+    ``hard=True`` (VERDICT r4 #3: a harder learning-evidence task) doubles
+    the class count to 6 (adds ellipse / cross / ring — the ring is
+    hollow, so color alone cannot classify it), raises the shape count to
+    8 per image (overlap -> real occlusion), and draws scales
+    log-uniformly from ~min/40 to ~min/4 so the anchors across all three
+    detection scales see matched objects. The default path makes exactly
+    the same RNG draws as before — recorded curves stay reproducible."""
     rng = np.random.default_rng(seed)
+    n_kinds = 6 if hard else 3
+    if hard:
+        max_shapes = max(max_shapes, 8)
     img_dir = os.path.join(root, "images", name)
     ann_dir = os.path.join(root, "annotations")
     os.makedirs(img_dir, exist_ok=True)
@@ -115,12 +139,19 @@ def make_shapes_coco(root: str, name: str = "train2017", n_images: int = 64,
         img = rng.integers(90, 150, size=(h, w, 3), dtype=np.uint8)
         n_shapes = int(rng.integers(1, max_shapes + 1))
         for _ in range(n_shapes):
-            kind = int(rng.integers(0, 3))
-            # [18, min/5) at the default 320 size (the recorded-AP
-            # distribution); clamped so small img_hw stays valid
-            half_lo = min(18, max(6, min(h, w) // 8))
-            half_hi = max(half_lo + 1, min(h, w) // 5)
-            half = int(rng.integers(half_lo, half_hi))
+            kind = int(rng.integers(0, n_kinds))
+            if hard:
+                # log-uniform scales, tiny through large
+                half_lo = max(4, min(h, w) // 40)
+                half_hi = max(half_lo + 2, min(h, w) // 4)
+                half = int(round(np.exp(rng.uniform(
+                    np.log(half_lo), np.log(half_hi)))))
+            else:
+                # [18, min/5) at the default 320 size (the recorded-AP
+                # distribution); clamped so small img_hw stays valid
+                half_lo = min(18, max(6, min(h, w) // 8))
+                half_hi = max(half_lo + 1, min(h, w) // 5)
+                half = int(rng.integers(half_lo, half_hi))
             cx = int(rng.integers(half + 2, w - half - 2))
             cy = int(rng.integers(half + 2, h - half - 2))
             # saturated colors, far from the background band

@@ -136,6 +136,29 @@ def main():
                              "through the int8 / int8_static / approx-topk "
                              "serving presets and report AP deltas vs the "
                              "bf16 eval of the same params")
+    parser.add_argument("--seed", type=int, default=0,
+                        help="init/loader/aug seed — run 3+ seeds for "
+                             "mean±spread learning evidence")
+    parser.add_argument("--hard", action="store_true",
+                        help="harder dataset: 6 classes (incl. a hollow "
+                             "ring), up to 8 overlapping shapes/image, "
+                             "log-uniform scales ~min/40..min/4 "
+                             "(tests/fixtures.make_shapes_coco hard=True)")
+    # ---- opt-in recipe knobs (A/B levers; all match the cfg keys) ----
+    parser.add_argument("--box-loss", default=None,
+                        choices=("mse", "iou", "giou", "diou", "ciou"),
+                        help="CRITERION.BOX_LOSS for this run")
+    parser.add_argument("--ema", type=float, default=None,
+                        help="TRAIN.EMA_DECAY for this run (e.g. 0.99)")
+    parser.add_argument("--multiscale", default=None,
+                        help="comma-separated TRAIN.MULTISCALE sizes, "
+                             "e.g. 288,320,352")
+    parser.add_argument("--letterbox", action="store_true",
+                        help="TEST.LETTERBOX eval geometry")
+    parser.add_argument("--width", type=float, default=1.0,
+                        help="MODEL.WIDTH (reduced variants for CPU "
+                             "plumbing checks; recorded runs use 1.0)")
+    parser.add_argument("--depth", type=float, default=1.0)
     args = parser.parse_args()
     S, B = args.img_size, args.batch_size
 
@@ -144,7 +167,7 @@ def main():
     import json
     stamp_path = os.path.join(args.root, "dataset_params.json")
     stamp = {"train_images": args.train_images, "val_images": args.val_images,
-             "img_size": S}
+             "img_size": S, "hard": bool(args.hard)}
     on_disk = None
     if os.path.isfile(stamp_path):
         with open(stamp_path) as f:
@@ -153,15 +176,21 @@ def main():
         if os.path.isdir(args.root):
             import shutil
             shutil.rmtree(args.root)
-        # disjoint seeds -> disjoint shape layouts; val images are unseen
+        # disjoint seeds -> disjoint shape layouts; val images are unseen.
+        # NOTE: dataset seeds stay FIXED — --seed varies init/shuffle/aug
+        # only, so multi-seed runs measure training variance on one task.
         make_shapes_coco(args.root, "train2017", n_images=args.train_images,
-                         seed=100, img_hw=(S, S), id_base=1000)
+                         seed=100, img_hw=(S, S), id_base=1000,
+                         hard=args.hard)
         make_shapes_coco(args.root, "val2017", n_images=args.val_images,
-                         seed=999, img_hw=(S, S), id_base=90000)
+                         seed=999, img_hw=(S, S), id_base=90000,
+                         hard=args.hard)
         with open(stamp_path, "w") as f:
             json.dump(stamp, f)
 
     cfg = load_config()
+    if args.width != 1.0 or args.depth != 1.0:
+        cfg["MODEL"].update(WIDTH=args.width, DEPTH=args.depth)
     cfg["TRAIN"]["IMGSIZE"] = S
     cfg["TEST"].update(IMGSIZE=S, BATCH_SIZE=B, CONFTHRE=0.3, NMSTHRE=0.4)
     # light, label-preserving augmentation: flips on (shapes stay valid),
@@ -170,6 +199,25 @@ def main():
                                RANDOM_HORIZONTAL_FLIP=True, JITTER=0.0)
     cfg["OPTIMIZER"]["LR"] = 1e-3
     cfg["LR_SCHEDULER"].update(IS_WARMUP=True, WARMUP_EPOCH=1)
+    knob_desc = []
+    if args.box_loss is not None:
+        cfg["CRITERION"]["BOX_LOSS"] = args.box_loss
+        knob_desc.append(f"box_loss={args.box_loss}")
+    if args.ema is not None:
+        cfg["TRAIN"]["EMA_DECAY"] = args.ema
+        knob_desc.append(f"ema={args.ema}")
+    if args.multiscale is not None:
+        sizes = [int(s) for s in args.multiscale.split(",") if s]
+        cfg["TRAIN"]["MULTISCALE"] = sizes
+        knob_desc.append(f"multiscale={sizes}")
+    if args.letterbox:
+        cfg["TEST"]["LETTERBOX"] = True
+        knob_desc.append("letterbox")
+    if args.hard:
+        knob_desc.append("hard")
+    if args.seed:
+        knob_desc.append(f"seed={args.seed}")
+    knobs = (" [" + ", ".join(knob_desc) + "]") if knob_desc else ""
 
     if args.use_trainer:
         # the full production path: reference mosaic/crop/flip/HSV
@@ -179,8 +227,14 @@ def main():
         from yolov4_tpu.engine.trainer import Trainer
         cfg["AUGMENTATION"].update(IS_MOSAIC=True, COLOR_DITHERING=True,
                                    JITTER=0.3, DEVICE=bool(args.device_aug))
+        out_tag = "out" + ("_" + "_".join(
+            d.replace("=", "").replace("[", "").replace("]", "")
+            .replace(", ", "-").replace(" ", "")
+            for d in knob_desc) if knob_desc else "")
+        if args.device_aug:
+            out_tag += "_devaug"
         cfg["TRAIN"].update(MAX_EPOCHS=args.epochs,
-                            OUTPUT_DIR=os.path.join(args.root, "out"))
+                            OUTPUT_DIR=os.path.join(args.root, out_tag))
         cfg["DATA"].update(WORKERS=0, BATCH_SIZE=B)
         milestones = []
         if args.recipe:
@@ -193,10 +247,10 @@ def main():
                                        IS_WARMUP=True, WARMUP_EPOCH=2)
             cfg["TRAIN"]["ACCUMULATION_STEPS"] = 2
         t0 = time.time()
-        trainer = Trainer(cfg, args.root)
+        trainer = Trainer(cfg, args.root, seed=args.seed)
         best_ap, best_ap50 = trainer.fit()
         print(f"TRAINER mode ({'device' if args.device_aug else 'host'} "
-              f"aug{', full recipe' if args.recipe else ''}): "
+              f"aug{', full recipe' if args.recipe else ''}){knobs}: "
               f"best held-out AP {best_ap:.3f} AP50 {best_ap50:.3f} "
               f"in {time.time() - t0:.0f}s")
         if args.recipe:
