@@ -155,10 +155,11 @@ def main():
         per_op[name] += e["dur"]
 
     total = sum(per_op.values())
+    top = args.top if args.top > 0 else None  # 0 = unlimited
     rows = sorted(per_op.items(), key=lambda kv: -kv[1])
     print(f"\ntrace: {path}")
     print(f"{'op':28s} {'ms':>9s} {'%':>5s}  scope")
-    for name, us in rows[:args.top]:
+    for name, us in rows[:top]:
         sc = scopes.get(name, "?")
         print(f"{name[:28]:28s} {us / 1000:9.2f} {100 * us / total:5.1f}  "
               f"{sc[:90]}")
@@ -169,7 +170,7 @@ def main():
         parts = sc.split("/")
         groups["/".join(parts[:args.group_depth])] += us
     print(f"\nper-scope-group (depth {args.group_depth}):")
-    for g, us in sorted(groups.items(), key=lambda kv: -kv[1])[:args.top]:
+    for g, us in sorted(groups.items(), key=lambda kv: -kv[1])[:top]:
         print(f"  {us / 1000:9.2f} ms {100 * us / total:5.1f}%  {g[:100]}")
     print(f"  TOTAL {total / 1000:.2f} ms over the traced window")
 
