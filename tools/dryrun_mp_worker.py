@@ -85,6 +85,15 @@ labels = jax.make_array_from_process_local_data(sharding, local_labels)
 
 # gloo's communicator context has a hardcoded ~30 s key-exchange timeout
 # on FIRST collective execution; bring compiles into lockstep first
+# COMPILE FIRST, then lockstep, then dispatch (coordinator_lockstep's
+# contract): on a 1-CPU host the two workers' compiles run serialized,
+# so a pre-compile lockstep leaves the whole (possibly minutes-long)
+# compile INSIDE gloo's hardcoded ~30 s first-collective key-exchange
+# window — observed "Gloo context initialization failed:
+# DEADLINE_EXCEEDED" right after a full-width single-process phase.
+# The .lower().compile() populates the persistent cache, so the step()
+# call's own compile is a seconds-fast reload on every process.
+step.lower(state, imgs, labels).compile()
 coordinator_lockstep("dryrun_mp_train_compile")
 state = step(state, imgs, labels)
 loss = float(state.loss)
