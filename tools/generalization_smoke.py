@@ -136,6 +136,11 @@ def main():
                              "through the int8 / int8_static / approx-topk "
                              "serving presets and report AP deltas vs the "
                              "bf16 eval of the same params")
+    parser.add_argument("--resume", default=None,
+                        help="with --use-trainer: resume a killed smoke "
+                             "run from its checkpoint.ckpt (same flags -> "
+                             "same OUTPUT_DIR; the curve in metrics.jsonl "
+                             "spans both segments)")
     parser.add_argument("--seed", type=int, default=0,
                         help="init/loader/aug seed — run 3+ seeds for "
                              "mean±spread learning evidence")
@@ -247,7 +252,7 @@ def main():
                                        IS_WARMUP=True, WARMUP_EPOCH=2)
             cfg["TRAIN"]["ACCUMULATION_STEPS"] = 2
         t0 = time.time()
-        trainer = Trainer(cfg, args.root, seed=args.seed)
+        trainer = Trainer(cfg, args.root, resume=args.resume, seed=args.seed)
         best_ap, best_ap50 = trainer.fit()
         print(f"TRAINER mode ({'device' if args.device_aug else 'host'} "
               f"aug{', full recipe' if args.recipe else ''}){knobs}: "
